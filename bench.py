@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §2.11 H1-H5).
+
+Reproduces the reference's protocol (src/benchmark_clickhouse.sh:19-26:
+N repeats, mean±std) with Spark-specific hygiene: JVM/codegen warm-up
+runs excluded from steady-state stats, caches cleared between queries,
+results forced with a noop sink (no driver collect).
+
+Prints ONE JSON line:
+  {"metric": "suite_mean_sec", "value": N, "unit": "sec",
+   "queries": {...per-query mean sec...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_REPEATS (default 3),
+     BENCH_QUERIES (comma-list override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nyc_taxi_data_clickhouse_spark import suite
+from nyc_taxi_data_clickhouse_spark.session import get_spark
+
+#: headline queries: the four reference benchmark shapes + the
+#: denormalizing join + the extension operators' heavy hitters
+DEFAULT_QUERIES = [
+    "q1_group_count",
+    "q2_avg_by_key",
+    "q3_two_key_derived",
+    "q4_three_key_sorted",
+    "denormalize_join",
+    "window_rank",
+    "events_hourly_agg",
+]
+
+
+def force(df) -> None:
+    """Materialize the full result without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
+    spec = suite.registry()[name]
+    times = []
+    for i in range(warmups + repeats):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(spec.spark(spark, sf_dir))
+        elapsed = time.perf_counter() - t0
+        if i >= warmups:
+            times.append(elapsed)
+    return {
+        "mean": statistics.mean(times),
+        "std": statistics.stdev(times) if len(times) > 1 else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    names = [
+        n for n in os.environ.get("BENCH_QUERIES", ",".join(DEFAULT_QUERIES)).split(",")
+        if n in suite.registry()
+    ]
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name=f"bench-{Path(sf_dir).name}", master=f"local[{cpus}]")
+    per_query: dict[str, float] = {}
+    stds: dict[str, float] = {}
+    for name in names:
+        r = bench_query(spark, name, sf_dir, repeats)
+        per_query[name] = round(r["mean"], 4)
+        stds[name] = round(r["std"], 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_mean_sec",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "stds": stds,
+                "sf": sf,
+                "repeats": repeats,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

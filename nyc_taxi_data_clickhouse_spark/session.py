@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for columnar OLAP workloads.
+
+The reference delegates all physical optimization to ClickHouse
+(SURVEY §4); here we delegate to Catalyst/Tungsten and only *configure*:
+AQE for runtime re-planning (partition coalescing, skew-join splitting),
+a shuffle-partition count sized to the machine instead of the 200
+default, Arrow for any pandas interchange, and UTC session time so
+date/timestamp semantics are reproducible against the DuckDB oracle.
+
+On a real cluster the same factory applies — only ``master`` and the
+memory knobs change; everything else (AQE, broadcast thresholds,
+partition sizing) is what makes plans survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# local[N]: one JVM, N executor threads.  The driver exports
+# SPARK_GRAFT_CPUS; fall back to all cores.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "nyc-taxi-data-clickhouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    Parameters are overridable for tests and for real-cluster deploys;
+    defaults target the local[32] harness.
+    """
+    master = master or f"local[{_DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        cpus = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- planner / runtime optimization -------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # keep broadcast joins for dim tables (reference joins are all
+        # broadcast-sized, SURVEY §2.3); 64m is safe at 128 GiB driver
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interchange -------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- reproducibility ----------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet: enable page-index / min-max filtering like the
+        # reference's MergeTree sparse index (SURVEY §1.3, X3)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # non-interactive harness: no web UI
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    # local mode: driver memory is the only knob.  Leave headroom for the
+    # python workers on the 128 GiB box.
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Tear down the active session (test hygiene)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,382 @@
+"""Driver-facing query suite: every implemented operator from
+SURVEY §2, re-expressed over the driver's TPC-H-ish testdata tables,
+each paired with the ANSI-SQL oracle DuckDB runs on the same parquet.
+
+The reference's queries are shapes over a taxi fact table; the driver's
+correctness corpus is TPC-H-ish (TESTDATA.md), so each entry here is
+the same *operator shape* (SURVEY §2 row cited in the docstring) bound
+to the testdata columns.  The trips-native forms live in
+``plans.queries`` / ``plans.transform`` and are exercised by the unit
+test fixtures.
+
+Contract (driver): spark callable takes ``(spark, sf_dir)`` and returns
+a DataFrame; oracle SQL must produce the same row set — identical
+column NAMES (driver sorts columns by name before hashing), and
+float aggregates rounded on BOTH sides so parallel-sum ordering noise
+can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nyc_taxi_data_clickhouse_spark.schema import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read nanos as long and convert to a
+    microsecond timestamp (DuckDB does the same ns->us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One operator's paired implementations."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    # import for side effects: modules register their suite entries
+    from nyc_taxi_data_clickhouse_spark.operators import suite_entries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+# ===========================================================================
+# Reference-parity shapes (SURVEY §2.4 A1-A5, §2.6 O1)
+# ===========================================================================
+
+@register(
+    "q1_group_count",
+    "SELECT l_returnflag AS key, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    doc="A1/Q1: 1-key hash agg count (benchmark_clickhouse.sh:4 shape)",
+)
+def q1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("key")).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q2_avg_by_key",
+    "SELECT l_linenumber AS key, round(avg(l_extendedprice), 4) AS avg_price "
+    "FROM lineitem GROUP BY l_linenumber",
+    doc="A2/Q2: 1-key avg (benchmark_clickhouse.sh:5 shape); Z6 float policy",
+)
+def q2_avg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_linenumber").alias("key")).agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price")
+    )
+
+
+@register(
+    "q3_two_key_derived",
+    "SELECT l_linenumber AS key, CAST(year(l_shipdate) AS INT) AS year, count(*) AS cnt "
+    "FROM lineitem GROUP BY l_linenumber, year",
+    doc="A3/Q3: 2-key agg, one derived key (benchmark_clickhouse.sh:6-8 shape)",
+)
+def q3_two_key_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_linenumber").alias("key"),
+        F.year("l_shipdate").alias("year"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q4_three_key_sorted",
+    "SELECT l_linenumber AS key, CAST(year(l_shipdate) AS INT) AS year, "
+    "round(l_quantity, 0) AS qty, count(*) AS cnt "
+    "FROM lineitem GROUP BY key, year, qty ORDER BY year, cnt DESC",
+    doc="A4/Q4+O1: 3-key agg (two derived) + global mixed-direction sort "
+    "(benchmark_clickhouse.sh:9-13 shape)",
+)
+def q4_three_key_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_linenumber").alias("key"),
+            F.year("l_shipdate").alias("year"),
+            F.round("l_quantity", 0).alias("qty"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("year").asc(), F.col("cnt").desc())
+    )
+
+
+@register(
+    "total_count",
+    "SELECT count(*) AS cnt FROM lineitem",
+    doc="A5: ungrouped count(*) (README.md:902 attach verification)",
+)
+def total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+# ===========================================================================
+# Denormalizing join (SURVEY §2.3 J1-J3b) — LEFT joins, broadcast dims,
+# one dim self-aliased twice (nation via customer AND via supplier,
+# the J3a/J3b pick_up/drop_off pattern)
+# ===========================================================================
+
+@register(
+    "denormalize_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           o_orderstatus, c_name AS cust_name,
+           n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           r_name AS cust_region
+    FROM lineitem
+    LEFT JOIN orders   ON o_orderkey = l_orderkey
+    LEFT JOIN customer ON c_custkey = o_custkey
+    LEFT JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    LEFT JOIN region    ON r_regionkey = n1.n_regionkey
+    LEFT JOIN supplier  ON s_suppkey = l_suppkey
+    LEFT JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    """,
+    doc="J1-J3b: multi-way LEFT equi-join denormalization "
+    "(README.md:366-374 shape incl. self-aliased dim)",
+)
+def denormalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .join(broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(broadcast(n1), F.col("n1.n_nationkey") == F.col("c_nationkey"), "left")
+        .join(broadcast(t["region"]), F.col("r_regionkey") == F.col("n1.n_regionkey"), "left")
+        .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .join(broadcast(n2), F.col("n2.n_nationkey") == F.col("s_nationkey"), "left")
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "o_orderstatus",
+        F.col("c_name").alias("cust_name"),
+        F.col("n1.n_name").alias("cust_nation"),
+        F.col("n2.n_name").alias("supp_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+
+
+# ===========================================================================
+# Filters / predicates (SURVEY §2.2 P3-P4)
+# ===========================================================================
+
+@register(
+    "in_list_filter",
+    "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
+    "WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'",
+    doc="P3/P4: IN-list + NOT-IN + equality predicates (README.md:276-277, 556)",
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+# ===========================================================================
+# Typed-cleanup projection (SURVEY §2.2 P2; scalar funcs F5,F8,F9,F10,F12)
+# — the curation-transform shape bound to orders columns
+# ===========================================================================
+
+@register(
+    "typed_cleanup",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HI'
+                WHEN o_orderpriority IN ('3-MEDIUM') THEN 'MED'
+                WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 'LO'
+                ELSE 'UNK' END AS priority_class,
+           CAST(o_orderstatus IN ('F','P') AS INT) AS is_closed_flag,
+           rpad(coalesce(o_orderstatus, '0'), 4, '0') AS status_fixed,
+           coalesce(CAST(o_totalprice AS DOUBLE), 0.0) AS total_nn,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+    doc="P2: typed cleanup projection — enum normalization (F8/F9), IN-list "
+    "flag (F10), fixed-string pad (F12), ifNull/assumeNotNull (F5/F6), "
+    "toDate (F2) (README.md:549-594 shape)",
+)
+def typed_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.functions.scalars import (
+        assume_not_null,
+        in_list_flag,
+        to_fixed_string,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    priority_class = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "HI")
+        .when(F.col("o_orderpriority").isin("3-MEDIUM"), "MED")
+        .when(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), "LO")
+        .otherwise("UNK")
+    )
+    return o.select(
+        "o_orderkey",
+        priority_class.alias("priority_class"),
+        in_list_flag("o_orderstatus", ("F", "P")).alias("is_closed_flag"),
+        to_fixed_string("o_orderstatus", 4).alias("status_fixed"),
+        assume_not_null("o_totalprice", "double").alias("total_nn"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+# ===========================================================================
+# Sort / limit (SURVEY §2.6) and set ops (§2.7)
+# ===========================================================================
+
+@register(
+    "top_k",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+    "LIMIT 100",
+    doc="O1+limit: global top-k (TakeOrderedAndProject — no full sort at scale); "
+    "o_orderkey tiebreak keeps it deterministic",
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "union_all_shards",
+    "SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_linenumber = 1 "
+    "UNION ALL "
+    "SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_linenumber = 2",
+    doc="§2.7: UNION ALL (the reference's per-shard ingest loop is an "
+    "implicit union, README.md:527-533)",
+)
+def union_all_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    a = li.filter(F.col("l_linenumber") == 1)
+    b = li.filter(F.col("l_linenumber") == 2)
+    return a.unionAll(b).drop("l_linenumber")
+
+
+# ===========================================================================
+# Window functions (SURVEY §2.5 — extension; absent in reference)
+# ===========================================================================
+
+@register(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS cust_total
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="§2.5 extension: row_number + windowed sum, top-3 orders per customer",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wsum = W.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.sum("o_totalprice").over(wsum), 4).alias("cust_total"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ===========================================================================
+# Events: JSON extraction + time-bucketed aggregation (streaming-shaped
+# batch form; the true streaming pipeline lives in streaming/events.py)
+# ===========================================================================
+
+@register(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY hour, event_type
+    """,
+    doc="§2.9 extension: time-bucketed windowed aggregation over the "
+    "events table (batch form of the streaming hourly rollup)",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+@register(
+    "events_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+    "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL",
+    doc="scalar-function extension: JSON field extraction from the props column",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return e.select("event_id", k.cast("int").alias("k")).filter(k.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# public accessors used by __spark_entry__
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
+    }

@@ -1,0 +1,55 @@
+"""Runs every registered suite query against its DuckDB oracle at
+sf0.01 — a local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_clickhouse_spark import suite
+from tests.oracle_util import compare
+from tests.conftest import SF_CORRECTNESS
+
+
+def _cases():
+    return [
+        (name, spec) for name, spec in suite.registry().items() if spec.oracle
+    ]
+
+
+@pytest.mark.parametrize("name,spec", _cases(), ids=[n for n, _ in _cases()])
+def test_query_matches_oracle(spark, name, spec):
+    df = spec.spark(spark, SF_CORRECTNESS)
+    result = compare(df, spec.oracle, SF_CORRECTNESS)
+    assert result["match"], {k: v for k, v in result.items() if k != "match"}
+
+
+def _rows_only_cases():
+    return [
+        (name, spec) for name, spec in suite.registry().items() if spec.oracle is None
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,spec", _rows_only_cases(), ids=[n for n, _ in _rows_only_cases()]
+)
+def test_rows_only_queries_run(spark, name, spec):
+    df = spec.spark(spark, SF_CORRECTNESS)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_queries_oracle_keys_consistent():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
