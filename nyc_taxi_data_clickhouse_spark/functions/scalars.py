@@ -20,15 +20,16 @@ from pyspark.sql import functions as F
 #: ClickHouse ``assumeNotNull(x)`` yields the column type's default value
 #: when x IS NULL (README.md:556-593).  We make that default explicit per
 #: Spark type (quirk Z1) instead of relying on engine internals.
+#: Lazy (lambdas) because Column construction needs an active session.
 _TYPE_DEFAULTS = {
-    "int": F.lit(0),
-    "long": F.lit(0).cast("long"),
-    "float": F.lit(0.0).cast("float"),
-    "double": F.lit(0.0),
-    "string": F.lit(""),
+    "int": lambda: F.lit(0),
+    "long": lambda: F.lit(0).cast("long"),
+    "float": lambda: F.lit(0.0).cast("float"),
+    "double": lambda: F.lit(0.0),
+    "string": lambda: F.lit(""),
     # F7: toDateTime(0) == unix epoch (README.md:553, 555)
-    "timestamp": F.lit("1970-01-01 00:00:00").cast("timestamp"),
-    "date": F.lit("1970-01-01").cast("date"),
+    "timestamp": lambda: F.lit("1970-01-01 00:00:00").cast("timestamp"),
+    "date": lambda: F.lit("1970-01-01").cast("date"),
 }
 
 
@@ -49,7 +50,7 @@ def assume_not_null(col: Column | str, spark_type: str = "string") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if spark_type not in _TYPE_DEFAULTS:
         raise ValueError(f"no ClickHouse default registered for {spark_type!r}")
-    return F.coalesce(c.cast(spark_type), _TYPE_DEFAULTS[spark_type])
+    return F.coalesce(c.cast(spark_type), _TYPE_DEFAULTS[spark_type]())
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,9 @@ from nyc_taxi_data_clickhouse_spark.functions.scalars import (
     to_fixed_string,
 )
 
-_EPOCH = F.lit("1970-01-01 00:00:00").cast("timestamp")  # toDateTime(0), F7
+def _epoch() -> Column:
+    """toDateTime(0) constant (F7); lazy — needs an active session."""
+    return F.lit("1970-01-01 00:00:00").cast("timestamp")
 
 
 def curation_expressions(strict_enums: bool = False) -> list[Column]:
@@ -50,9 +52,9 @@ def curation_expressions(strict_enums: bool = False) -> list[Column]:
         enum8("vendor_id", VENDOR_ENUM, strict=strict_enums).alias("vendor_id"),
         # README.md:552-555
         F.to_date("pickup_datetime").alias("pickup_date"),
-        if_null("pickup_datetime", _EPOCH).alias("pickup_datetime"),
+        if_null("pickup_datetime", _epoch()).alias("pickup_datetime"),
         F.to_date("dropoff_datetime").alias("dropoff_date"),  # stays nullable
-        if_null("dropoff_datetime", _EPOCH).alias("dropoff_datetime"),
+        if_null("dropoff_datetime", _epoch()).alias("dropoff_datetime"),
         # README.md:556: IN-list -> UInt8 flag (F10)
         in_list_flag("store_and_fwd_flag", ("Y", "1", "2")).alias("store_and_fwd_flag"),
         an("rate_code_id", "int").alias("rate_code_id"),
