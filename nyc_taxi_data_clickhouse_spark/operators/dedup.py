@@ -1,0 +1,354 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (the part that matters at 100 TB):
+
+- Exact dedup is a hash aggregation on the normalized key — one
+  shuffle, map-side partial combine, no collect.
+- N-gram Jaccard NEVER does the naive N² self-join: candidate pairs
+  come from an equi-join on shared shingles (only docs sharing at
+  least one shingle meet), intersection counts from a groupBy, and
+  the exact Jaccard from two broadcast-able size lookups.
+- MinHash+LSH replaces "join on every shingle" with "join on band
+  key": 64 hashes -> 16 bands of 4 -> docs collide only if a whole
+  band agrees.  The signature build is ONE groupBy over the exploded
+  shingles (64 min() aggregates, all JVM-side); candidate
+  verification re-computes exact Jaccard on candidates only.
+- SimHash pairs use the pigeonhole trick: hamming(a,b) <= k means at
+  least one of k+1 chunks of the 64-bit key is equal, so candidates
+  come from k+1 equi-joins on chunk values, not a cross join.
+- Embedding near-dup keeps the exact all-pairs form only as the
+  small-N baseline; the scale path is the LSH bucketing in
+  ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse
+    internal whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per normalized text; report
+    group size.  One hash-agg shuffle; no windows, no collect."""
+    key = normalize_text(text_col).alias("__norm")
+    return (
+        docs.select(F.col(id_col), key)
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (array<string>).
+    Documents shorter than n tokens produce an empty array."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    return docs.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
+
+    Candidates from the shared-shingle equi-join; |A∩B| from the pair
+    groupBy; |A| and |B| joined in from the per-doc size table.  At
+    scale the shingle join key is high-cardinality and well spread —
+    the hot-key risk is boilerplate shingles (stop phrases); mitigate
+    upstream by raising n or filtering ubiquitous shingles.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("sa.__n") + F.col("sb.__n") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig array<long>) — minimum of ``xxhash64(shingle, seed_i)``
+    per seed.  One explode + one groupBy with num_hashes min()
+    aggregates; entirely JVM-side."""
+    sh = _shingle_table(docs, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("__id").agg(*mins)
+    return sig.select(
+        F.col("__id").alias("id"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding, verified with exact
+    Jaccard (so output equals the exact operator's, up to the
+    vanishingly small LSH miss probability: at s=0.9, 16 bands x 4
+    rows, P(miss) = (1-0.9^4)^16 ≈ 4e-8).
+
+    Band key: xxhash64 over the band's slice of the signature.
+    Candidates collide on (band index, band hash) — an equi-join-able
+    key, no cross join anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, text_col, id_col, n, num_hashes)
+
+    band_entries = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    ba = band_entries.alias("ba")
+    bb = band_entries.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.id") < F.col("bb.id")),
+        )
+        .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (computed only for candidates)
+    sh = _shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("id_a") == F.col("a.__id"))
+        .join(b, (F.col("id_b") == F.col("b.__id")) & (F.col("a.__sh") == F.col("b.__sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("sa.__n") + F.col("sb.__n") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash long): per-bit majority vote over xxhash64(token).
+
+    Implemented as ONE groupBy with ``bits`` sum() aggregates of ±1
+    contributions — no per-bit explode, no UDF.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    # assemble the key: sum of 2^i over positive-vote bits
+    key = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        key = term if key is None else key.bitwiseOR(term)
+    return agg.select("id", key.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via the
+    pigeonhole chunk join: split 64 bits into (max_hamming+1) chunks;
+    any qualifying pair agrees exactly on >= 1 chunk, so candidates
+    come from equi-joins on chunk value — never a cross join."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = simhash(docs, text_col, id_col)
+
+    chunk_exprs = [
+        F.shiftright("simhash", c * chunk_bits)
+        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        .alias(f"c{c}")
+        for c in range(n_chunks)
+    ]
+    keyed = sh.select("id", "simhash", *chunk_exprs)
+
+    cand = None
+    for c in range(n_chunks):
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        part = a.join(
+            b, (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        cand = part if cand is None else cand.unionAll(part)
+
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact small-N baseline)
+# ---------------------------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, folded in
+    DOUBLE (sequential, deterministic — matches the DuckDB DOUBLE[]
+    oracle to 1 ulp)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs exact cosine near-dup (id_a < id_b, cos >= threshold).
+
+    O(N²) — correct baseline for modest N (dedup of a candidate pool);
+    the 100 TB path is LSH bucketing (similarity.lsh_bucket_pairs)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY §7): brute-force
+cosine top-k as the exact baseline, and random-hyperplane LSH bucketing
+as the scale path.
+
+Scale design: brute-force is a broadcast of the (small) query set
+against a full scan of the corpus — linear, shuffle-free until the
+final per-query top-k (TakeOrdered-style, tiny).  The LSH variant
+buckets both sides by hyperplane sign pattern so each query only meets
+its bucket's candidates; recall is tunable via number of tables/bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nyc_taxi_data_clickhouse_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    queries is broadcast (it must be small — that is the contract of
+    a top-k probe); corpus streams through once.  Ties broken by
+    neighbor id so results are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (approximate, the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j of
+    plane i is a hash-derived value in [-1, 1).  Pure function of
+    (i, j) — identical on every executor, no RNG state to ship."""
+    out = []
+    for j in range(dim):
+        h = (plane_idx * 1_000_003 + j * 7_919 + 12_345) * 2_654_435_761 % (2**32)
+        out.append((h / 2**31) - 1.0)
+    return out
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16
+) -> Column:
+    """Bit signature: sign pattern of <v, plane_i> for i < n_planes,
+    packed into a long.  Built-ins only (zip_with + aggregate folds)."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = same bucket in >= 1 of
+    ``n_tables`` independent hyperplane tables, then exact cosine +
+    per-query top-k on candidates only.
+
+    Plans as: per-table equi-join on (table, signature) — shuffle on a
+    well-spread key — followed by a windowed top-k.  Recall grows with
+    n_tables and shrinks with n_planes; 12 planes x 4 tables gives
+    ~1/4096 selectivity per table on random data.
+    """
+    def sig_table(df: DataFrame, role: str) -> DataFrame:
+        # independent tables: disjoint plane index ranges per table
+        cols = []
+        for t in range(n_tables):
+            sig = F.lit(0).cast("long")
+            for i in range(n_planes):
+                plane = F.array(
+                    *[F.lit(x) for x in _hyperplane(dim, t * n_planes + i)]
+                )
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), plane, lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                sig = sig.bitwiseOR(F.shiftleft(bit, i))
+            cols.append(sig.alias(f"sig{t}"))
+        keyed = df.select(
+            F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias(f"__{role}vec"), *cols
+        )
+        return keyed.select(
+            f"{role}_id",
+            f"__{role}vec",
+            F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(n_tables)])).alias(
+                "table", "sig"
+            ),
+        )
+
+    qk = sig_table(queries, "query")
+    ck = sig_table(corpus, "neighbor")
+    cand = (
+        broadcast(qk)
+        .join(ck, ["table", "sig"])
+        .select("query_id", "neighbor_id", "__queryvec", "__neighborvec")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__queryvec"), F.col("__neighborvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Operator-level tests: dedup family, similarity search, text
+analysis edge cases, multimodal plumbing (SURVEY §7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators import dedup, similarity, text
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_exact_with_planted_dups(spark, docs):
+    # plant exact duplicates (with case/whitespace noise) and verify
+    # they collapse to the lowest id
+    noisy = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("text"),
+    )
+    combined = docs.select("doc_id", "text").unionAll(noisy)
+    result = dedup.dedup_exact(combined)
+    assert result.count() == docs.count()  # noisy copies merged
+    assert result.filter(F.col("group_size") == 2).count() == 5
+    kept = result.filter(F.col("group_size") == 2).agg(F.max("keep_id")).collect()[0][0]
+    assert kept < 1_000_000  # lowest id kept
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "sf0.001 should contain planted near-dups"
+
+
+def test_simhash_pigeonhole_equals_bruteforce(spark, docs):
+    sh = dedup.simhash(docs.limit(100))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    pig = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(docs.limit(100), max_hamming=3).collect()
+    }
+    assert pig == brute
+
+
+def test_simhash_near_identical_texts_close(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "completely different words about spark shuffle partitions and columnar scans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(
+            emb, queries, dim=64, k=5, n_planes=3, n_tables=20
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # the sf0.001 corpus is tiny (top-5 "neighbors" sit near cos 0, so
+    # P(plane agrees) ~0.5): per-table hit 0.5^3, over 20 tables recall
+    # ~1-(0.875)^20 ~ 0.93; assert a safe floor.  Real corpora with
+    # close neighbors get much better recall at higher plane counts.
+    assert recall >= 0.75, f"LSH recall too low: {recall:.2f}"
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
+    res = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = res.collect()
+    assert len(rows) == 3
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    cos = [r["cos"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# text edge cases
+# ---------------------------------------------------------------------------
+
+def test_text_empty_and_blank(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three")], "doc_id long, text string"
+    )
+    out = text.analyze(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["token_count"] == 0
+    assert by_id[2]["token_count"] == 0
+    assert by_id[3]["token_count"] == 3
+    assert by_id[1]["quality_score"] == 0
+    assert by_id[1]["fingerprint"] == 0  # empty fold -> init value
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "el perro y la casa que es grande"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in df.select("doc_id", text.lang_id("text")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in df.select("doc_id", text.fingerprint("text")).collect()}
+    assert fp[1] != fp[2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_featurize_media_fake_deterministic(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        FEATURE_DIM,
+        featurize_media,
+        pack_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-b")), (3, None)],
+        "media_id long, payload binary",
+    )
+    media = pack_media(df, "payload", "image/jpeg")
+    out1 = {r["media_id"]: r for r in featurize_media(media, fake=True).collect()}
+    out2 = {r["media_id"]: r for r in featurize_media(media, fake=True).collect()}
+    assert out1[1]["feature"] == out2[1]["feature"]  # deterministic
+    assert len(out1[1]["feature"]) == FEATURE_DIM
+    assert all(0.0 <= v < 1.0 for v in out1[1]["feature"])
+    assert out1[1]["feature"] != out1[2]["feature"]
+    assert out1[3]["feature"] is None and out1[3]["sha256"] is None
+    assert out1[1]["n_bytes"] == 9
+
+
+def test_decode_media_stub_raises():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8", "image/jpeg", fake=False)
+
+
+def test_sample_frames_grid(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"videobytes"))], "media_id long, payload binary"
+    ).select(
+        "media_id",
+        F.struct(
+            F.col("payload").alias("bytes"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+    rows = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+    assert len({r["frame_digest"] for r in rows}) == 4  # distinct per frame
