@@ -1,0 +1,211 @@
+"""Structured Streaming over the events table (SURVEY §2.9 extension).
+
+The reference has no streaming surface; this module adds the three
+canonical streaming shapes over the driver's ``events`` schema
+(event_id, ts, user_id, event_type, value, props):
+
+- watermarked hourly rollup   (window agg; late data dropped at 2h)
+- watermarked stream dedup    (dropDuplicatesWithinWatermark on id)
+- stateful sessionization     (applyInPandasWithState, 30-min gap)
+
+Each transformation is source-agnostic: it takes the streaming
+DataFrame, so production swaps the file source for Kafka without
+touching the logic.  Batch twins live in the suite
+(events_hourly_agg / events_sessionize) and the tests assert
+stream-vs-batch agreement, which is the semantic contract that
+matters (a streaming op is correct iff it converges to its batch
+counterpart once the watermark passes).
+
+Scale notes: the rollup state is (window x event_type) — tiny; dedup
+state is bounded by the watermark horizon; session state by live
+users.  All state lives in the state store, partitioned by key, so a
+1000-executor cluster shards it naturally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: event schema with microsecond timestamp (the parquet carries nanos;
+#: the stream reader gets the post-conversion shape)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos from parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over events parquet.
+
+    ``maxFilesPerTrigger`` paces micro-batches for tests; Kafka in
+    production.  The nanos->timestamp conversion mirrors
+    suite.load_events.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    # the file stream source requires a DIRECTORY; accept a single
+    # parquet file by streaming its parent dir with a glob filter
+    import os
+
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly windowed aggregation — the streaming twin of
+    suite.events_hourly_agg.  Late rows beyond the watermark are
+    dropped; in append mode a window emits once, when it finalizes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "cnt", "avg_value")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming form of exact dedup
+    with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+#: output schema of the stateful sessionizer
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    ``applyInPandasWithState`` — the streaming twin of the suite's
+    events_sessionize window query.
+
+    State per user: (start, end, count) of the open session.  A batch
+    of events extends the open session or closes it and opens a new
+    one; closed sessions are emitted downstream.  Event-time timeout
+    flushes idle sessions once the watermark passes the gap.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    # Self-contained closure: no references to this module's globals
+    # (Python workers may not have the package importable).
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        rows: list[tuple[Any, Any, int]] = []  # closed sessions (start, end, n)
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                rows.append((s, e, n))
+                state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend(int(v.value // 10**6) for v in pdf["ts"])  # ms epoch
+            ts_list.sort()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = None
+                n = 0
+            for t in ts_list:
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e > gap_ms:
+                    rows.append((s, e, n))
+                    s, e, n = t, t, 1
+                else:
+                    e = t
+                    n += 1
+            if s is not None:
+                state.update((s, e, n))
+                state.setTimeoutTimestamp(e + gap_ms)
+
+        if rows:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [_pd.Timestamp(s, unit="ms") for s, _, _ in rows],
+                    "session_end": [_pd.Timestamp(e, unit="ms") for _, e, _ in rows],
+                    "n_events": [n for _, _, n in rows],
+                }
+            )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str = "stream_test", output_mode: str = "append"
+) -> DataFrame:
+    """Drain a (file-bounded) stream into an in-memory table with
+    availableNow semantics and return the result as a batch DataFrame.
+    Test/benchmark helper — production writes to a real sink.
+
+    Note on modes: in ``append`` a watermarked window emits only once
+    the watermark passes it, so the trailing windows of a bounded run
+    stay unemitted; ``complete`` emits the full aggregate state.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

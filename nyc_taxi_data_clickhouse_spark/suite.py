@@ -368,6 +368,178 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", k.cast("int").alias("k")).filter(k.isNotNull())
 
 
+# ===========================================================================
+# Extended SQL surface (SURVEY §2.4 "not present" list + §2.5) — the
+# aggregation/join shapes the reference lacks but a complete engine needs
+# ===========================================================================
+
+@register(
+    "distinct_agg",
+    "SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_cust, "
+    "count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+    doc="§2.4 extension: distinct aggregation (expand+two-phase hash agg)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "having_filter",
+    "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey "
+    "HAVING count(*) >= 100",
+    doc="§2.4 extension: HAVING (post-aggregation predicate)",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 100)
+    )
+
+
+@register(
+    "rollup_agg",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "round(sum(l_extendedprice), 2) AS total "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    doc="§2.4 extension: ROLLUP hierarchy aggregation",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("total")
+    )
+
+
+@register(
+    "cube_agg",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    doc="§2.4 extension: CUBE aggregation",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "grouping_sets",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+    doc="§2.4 extension: GROUPING SETS via the spark.sql entry point (E1)",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
+    "percentile_median",
+    "SELECT l_linenumber AS key, round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+    "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price "
+    "FROM lineitem GROUP BY l_linenumber",
+    doc="§2.4 extension: exact interpolated percentiles (median/p90)",
+)
+def percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_linenumber").alias("key")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "approx_distinct",
+    None,  # HLL sketch values are engine-specific; accuracy asserted in pytest
+    doc="§2.4 extension: approx_count_distinct (HyperLogLog++; rows-only "
+    "check, <5%-error assertion lives in pytest)",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+@register(
+    "semi_join",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
+    doc="§2.3 extension: left-semi join (EXISTS)",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    doc="§2.3 extension: left-anti join (NOT EXISTS)",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "range_join",
+    """
+    SELECT e.event_id, b.bucket
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+         AS b(bucket, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+    doc="§2.3 extension: range (non-equi) join against broadcast bucket "
+    "bounds (BroadcastNestedLoopJoin; dim side is tiny by contract)",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    buckets = e.sparkSession.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return e.join(
+        broadcast(buckets),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    ).select("event_id", "bucket")
+
+
+@register(
+    "asof_join",
+    """
+    SELECT c.event_id, c.user_id, p.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="§7 custom operator: point-in-time as-of join via union+window "
+    "carry-forward (one shuffle, no N²); oracle is DuckDB ASOF JOIN",
+)
+def asof_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.plans.asof import asof_join
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="ts", by="user_id", value_cols=("value",)).select(
+        "event_id", "user_id", "value_asof"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors used by __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,53 @@
+"""Extended-SQL-surface tests that the oracle can't express:
+approx-distinct accuracy and as-of join edge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.plans.asof import asof_join
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_approx_distinct_within_tolerance(spark):
+    li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_partkey").alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_asof_join_edge_semantics(spark):
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),  # after r1 -> 100.0
+            (2, 10, ts("2024-01-01 11:00:00")),  # exactly at r2 -> 200.0 (<=)
+            (3, 10, ts("2024-01-01 09:00:00")),  # before any right -> NULL
+            (4, 20, ts("2024-01-01 12:00:00")),  # other key, no right rows -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 09:30:00"), 100.0),
+            (10, ts("2024-01-01 11:00:00"), 200.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, value_cols=("value",)).collect()
+    }
+    assert out == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    e = load_events(spark, SF_CORRECTNESS)
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, value_cols=("value",))
+    assert joined.count() == clicks.count()

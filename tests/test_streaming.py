@@ -1,0 +1,105 @@
+"""Streaming semantics tests: each streaming op must agree with its
+batch twin once the (bounded) stream drains — the contract that makes
+streaming results trustworthy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.streaming import events as ev
+from tests.conftest import SF_SMOKE
+
+EVENTS_PATH = f"{SF_SMOKE}/events.parquet"
+
+
+@pytest.fixture()
+def stream(spark):
+    return ev.read_events_stream(spark, EVENTS_PATH)
+
+
+def _batch_events(spark):
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    return load_events(spark, SF_SMOKE)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, stream):
+    # complete mode: emit the full aggregate state (append would hold
+    # back windows the watermark hasn't passed — the bounded-run tail)
+    got = ev.run_to_completion(
+        ev.hourly_rollup_stream(stream), "rollup_test", output_mode="complete"
+    )
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_dedup_drops_replays(spark):
+    # replay the same file twice through the stream -> ids seen once
+    import tempfile, shutil, glob, os
+
+    d = tempfile.mkdtemp()
+    try:
+        src = EVENTS_PATH
+        shutil.copy(glob.glob(f"{src}")[0] if os.path.isfile(src) else src, f"{d}/a.parquet") \
+            if os.path.isfile(src) else None
+        if not os.path.isfile(src):
+            for f_ in glob.glob(f"{src}/*.parquet"):
+                shutil.copy(f_, f"{d}/a.parquet")
+        shutil.copy(f"{d}/a.parquet", f"{d}/b.parquet")
+        s = ev.read_events_stream(spark, d)
+        got = ev.run_to_completion(ev.stream_dedup(s), "dedup_test")
+        n_unique = _batch_events(spark).select("event_id").distinct().count()
+        assert got.count() == n_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, stream):
+    got = ev.run_to_completion(
+        ev.sessionize_stream(stream, gap_minutes=30), "session_test"
+    )
+    # batch twin: lag/gap sessionization, aggregated to session bounds
+    from pyspark.sql import Window as W
+
+    e = _batch_events(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 30 * 60),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    batch_sessions = (
+        e.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("sid")
+    )
+    # stream truncates to ms; truncate batch the same way for compare
+    def key(r):
+        return (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1000),
+            int(r["session_end"].timestamp() * 1000),
+            r["n_events"],
+        )
+
+    g = {key(r) for r in got.collect()}
+    b = {key(r) for r in batch_sessions.collect()}
+    # the stream may keep the final session of each user open (no
+    # event past its timeout) — allow b to contain up to n_users extra
+    assert g <= b
+    missing = b - g
+    n_users = e.select("user_id").distinct().count()
+    assert len(missing) <= n_users
