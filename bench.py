@@ -39,6 +39,11 @@ DEFAULT_QUERIES = [
     "denormalize_join",
     "window_rank",
     "events_hourly_agg",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk_cosine",
+    "asof_join",
 ]
 
 

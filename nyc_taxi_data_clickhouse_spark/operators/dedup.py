@@ -61,24 +61,52 @@ def dedup_exact(
 # shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text (array<string>).
-    Documents shorter than n tokens produce an empty array."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-projected token-array
+    column.  ``slice`` + ``array_join`` (NOT per-position element_at:
+    each element_at reference re-evaluates its argument subtree per
+    element, turning shingling O(tokens²) — measured 15x slower)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         )
     )
 
 
-def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle table."""
-    return docs.select(
-        F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__sh")
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (array<string>).
+
+    Convenience form; hot paths should pre-project ``tokens(col)`` into
+    its own column and call ``shingles_from_tokens`` — a projection
+    boundary stops Catalyst's CollapseProject from inlining (and thus
+    re-evaluating) the tokenizer once per array reference."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def _shingle_table(
+    docs: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = True
+) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table.
+
+    ``hashed=True`` emits xxhash64(shingle) longs instead of strings:
+    the candidate join then shuffles 8-byte keys, not n-word strings.
+    Collision risk at 64 bits is ~|shingles|²/2^64 — negligible."""
+    base = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    exploded = base.select(
+        "__id", F.explode(shingles_from_tokens(F.col("__t"), n)).alias("__sh_str")
+    )
+    if hashed:
+        return exploded.select("__id", F.xxhash64("__sh_str").alias("__sh"))
+    return exploded.withColumnRenamed("__sh_str", "__sh")
+
+
+def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, distinct-shingle count) computed directly from the array —
+    no explode, no shuffle (vs groupBy over the exploded table)."""
+    base = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    return base.select(
+        "__id", F.size(shingles_from_tokens(F.col("__t"), n)).alias("__n")
     )
 
 
@@ -98,7 +126,7 @@ def ngram_jaccard_pairs(
     upstream by raising n or filtering ubiquitous shingles.
     """
     sh = _shingle_table(docs, text_col, id_col, n)
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    sizes = _shingle_sizes(docs, text_col, id_col, n)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -204,7 +232,7 @@ def minhash_lsh_pairs(
 
     # verify candidates with exact Jaccard (computed only for candidates)
     sh = _shingle_table(docs, text_col, id_col, n)
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    sizes = _shingle_sizes(docs, text_col, id_col, n)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -71,7 +71,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *text.quality_features("text"))
+    pre = docs.withColumn("__toks", text.tokens("text"))
+    return pre.select("doc_id", *text.quality_features("text", toks=F.col("__toks")))
 
 
 @register(
@@ -95,7 +96,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text"))
+    pre = docs.withColumn("__toks", text.tokens("text"))
+    return pre.select("doc_id", text.lang_id("text", toks=F.col("__toks")))
 
 
 @register(

@@ -33,10 +33,16 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
+def token_count(col: Column | str, toks: Column | None = None) -> Column:
+    """Whitespace token count; empty/blank text counts 0.
+
+    ``toks`` lets hot paths pass a pre-projected token array so the
+    tokenizer isn't re-evaluated per referencing expression (see
+    dedup.shingles docstring for the Catalyst CollapseProject note).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c))).alias(
+    t = toks if toks is not None else tokens(c)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(t)).alias(
         "token_count"
     )
 
@@ -45,13 +51,13 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def quality_features(col: Column | str) -> list[Column]:
+def quality_features(col: Column | str, toks: Column | None = None) -> list[Column]:
     """Quality-scoring feature block: char length, word count, punct
     count, stopword ratio, mean word length, and a composite score in
     [0,1].  The score formula is arbitrary-but-deterministic; what
     matters is that filtering on it is reproducible at any scale."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
+    toks = toks if toks is not None else tokens(c)
     wc = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
     n_chars = F.length(c)
     punct = F.regexp_count(c, F.lit(r"[.!?,;:]"))
@@ -79,12 +85,12 @@ def quality_features(col: Column | str) -> list[Column]:
     ]
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """Marker-word language ID: count stopword hits per language,
     argmax with a fixed priority order (en > de > es > fr), 'und'
     (undetermined) when nothing matches."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
+    toks = toks if toks is not None else tokens(c)
     hits = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
     expr = F.when(best <= 0, F.lit("und"))
@@ -93,14 +99,15 @@ def lang_id(col: Column | str) -> Column:
     return expr.otherwise(F.lit("und")).alias("lang_pred")
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(col: Column | str, toks: Column | None = None) -> Column:
     """Polynomial rolling hash over the token stream, mod 1e9+7 —
     an order-sensitive document fingerprint (reorderings change it,
     unlike a bag-of-words hash).  Per token the contribution is
     ``ascii(first char) + length``; the fold is ``acc*31 + v``.
     Expressible in DuckDB as list_reduce for the oracle."""
     c = F.col(col) if isinstance(col, str) else col
-    vals = F.transform(tokens(c), lambda t: F.ascii(t) + F.length(t))
+    vals = F.transform(toks if toks is not None else tokens(c),
+                       lambda t: F.ascii(t) + F.length(t))
     return F.aggregate(
         vals,
         F.lit(0).cast("long"),
@@ -109,11 +116,16 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection over a documents table."""
-    return docs.select(
-        "*",
-        token_count(text_col),
-        *quality_features(text_col),
-        lang_id(text_col),
-        fingerprint(text_col),
+    """Full text-analysis projection over a documents table.
+
+    Two-step select: the token array is projected ONCE, then every
+    feature references it — one tokenizer pass per row instead of one
+    per feature expression."""
+    t = F.col("__toks")
+    return docs.withColumn("__toks", tokens(text_col)).select(
+        *docs.columns,
+        token_count(text_col, toks=t),
+        *quality_features(text_col, toks=t),
+        lang_id(text_col, toks=t),
+        fingerprint(text_col, toks=t),
     )
