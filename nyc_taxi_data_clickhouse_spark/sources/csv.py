@@ -38,6 +38,7 @@ def read_trips_csv(
         .option("nullValue", "\\N")
         .option("emptyValue", "\\N")  # '' -> null, like trans.py
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
         .option("dateFormat", "yyyy-MM-dd")
         .option("mode", "PERMISSIVE")
         .csv(path)
@@ -63,8 +64,11 @@ def write_csv_shards(
         .option("nullValue", "\\N")
         .option("emptyValue", "")
         # second-precision timestamps, like the reference export CSV
-        # (README.md:311-365); must agree with read_trips_csv
+        # (README.md:311-365); must agree with read_trips_csv.  NTZ
+        # variant needed too: parquet columns with isAdjustedToUTC=false
+        # surface as TIMESTAMP_NTZ, which has its own format option.
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
         .option("dateFormat", "yyyy-MM-dd")
         .csv(path)
     )

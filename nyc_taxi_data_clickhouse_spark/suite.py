@@ -369,6 +369,100 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sources/sinks under the correctness gate (SURVEY §2.1): the ingest and
+# gold-table paths run as identity roundtrips whose oracle is the source
+# table itself — any parse/write defect breaks the hash
+# ===========================================================================
+
+@register(
+    "csv_roundtrip_identity",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate "
+    "FROM lineitem",
+    doc="S1-S3: gzipped-CSV sink + null-normalizing source roundtrip "
+    "(identity oracle; exercises the trans.py-subsuming reader config)",
+)
+def csv_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_clickhouse_spark.sources.csv import (
+        read_trips_csv,
+        write_csv_shards,
+    )
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_csv_shards(li, out, max_records_per_file=20_000)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    return read_trips_csv(spark, out, schema=schema)
+
+
+@register(
+    "gold_partitioned_roundtrip",
+    "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS cnt, "
+    "round(sum(l_extendedprice), 2) AS total "
+    "FROM lineitem GROUP BY ship_year",
+    doc="S5/S6+X2: partitioned sort-clustered parquet write, zero-copy "
+    "attach, partition-pruned aggregate (identity-agg oracle)",
+)
+def gold_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="gold_rt_")
+    (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .repartition(F.col("ship_year"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("ship_year").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "streaming_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY hour, event_type
+    """,
+    doc="§2.9: Structured Streaming watermarked hourly rollup drained "
+    "with availableNow — oracle is the batch aggregate (stream==batch "
+    "convergence contract)",
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(
+        hourly_rollup_stream(stream), name, output_mode="complete"
+    )
+
+
+# ===========================================================================
 # Extended SQL surface (SURVEY §2.4 "not present" list + §2.5) — the
 # aggregation/join shapes the reference lacks but a complete engine needs
 # ===========================================================================
