@@ -44,6 +44,8 @@ DEFAULT_QUERIES = [
     "text_quality",
     "ann_topk_cosine",
     "asof_join",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

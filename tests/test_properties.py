@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the scalar expression library
+— SURVEY §5's upgrade from the reference's manual spot checks.
+
+Strategy: generate a batch of adversarial inputs per property, run
+them through ONE DataFrame evaluation (per-example Spark jobs would be
+prohibitively slow), and check the invariant row-by-row against a pure
+Python model of the ClickHouse semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.functions.scalars import (
+    _PAYMENT_GROUPS,
+    in_list_flag,
+    normalize_payment_type,
+    to_fixed_string,
+)
+
+# text-ish strings incl. empties, whitespace, unicode, the real spellings
+payment_strings = st.one_of(
+    st.sampled_from(
+        [s for group in _PAYMENT_GROUPS.values() for s in group] + ["UNK", ""]
+    ),
+    st.text(max_size=12),
+    st.none(),
+)
+
+
+def _py_normalize_payment(v: str | None) -> str:
+    v = v if v is not None else ""
+    for canon, spellings in _PAYMENT_GROUPS.items():
+        if v in spellings:
+            return canon
+    return "UNK"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(payment_strings, min_size=1, max_size=50))
+def test_payment_normalization_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "payment_type string")
+    got = [
+        r[0]
+        for r in df.select(
+            normalize_payment_type(F.coalesce(F.col("payment_type"), F.lit("")))
+        ).collect()
+    ]
+    assert got == [_py_normalize_payment(v) for v in values]
+
+
+fixed_strings = st.one_of(st.text(max_size=12), st.none())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(fixed_strings, min_size=1, max_size=50), st.integers(1, 8))
+def test_to_fixed_string_always_exact_width(spark, values, n):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r[0] for r in df.select(to_fixed_string("s", n)).collect()]
+    assert all(len(g) == n for g in got)
+    # NULL -> all-zero default of width n (README.md:581-583 semantics)
+    for v, g in zip(values, got):
+        if v is None:
+            assert g == "0" * n
+
+
+flag_strings = st.one_of(
+    st.sampled_from(["Y", "N", "1", "2", "0", "", " ", "y"]), st.text(max_size=3), st.none()
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(flag_strings, min_size=1, max_size=50))
+def test_in_list_flag_is_binary_and_null_free(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "f string")
+    got = [r[0] for r in df.select(in_list_flag("f", ("Y", "1", "2"))).collect()]
+    assert all(g in (0, 1) for g in got)
+    assert got == [1 if (v in ("Y", "1", "2")) else 0 for v in values]
