@@ -59,6 +59,80 @@ def brute_force_topk(
     )
 
 
+def lsh_bucket_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs — the 100 TB path for
+    ``dedup.embedding_near_dup_pairs``.
+
+    Candidates = pairs sharing a bucket in >= 1 hyperplane table
+    (equi-join on (table, signature) — shuffle on a spread key, never
+    N²); survivors = candidates passing the EXACT cosine threshold, so
+    precision is 1.0 and only recall is approximate.  For high
+    thresholds the angle is small and P(plane splits the pair) is low:
+    at cos=0.9, P(agree per plane)=1-theta/pi~0.86, per-table hit
+    0.86^8~0.30, miss over 8 tables ~ (1-0.30)^8 ~ 6%.
+    """
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        *[
+            _table_signature(vec_col, dim, n_planes, t).alias(f"sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    entries = keyed.select(
+        "id",
+        "__vec",
+        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(n_tables)])).alias(
+            "table", "sig"
+        ),
+    )
+    a = entries.alias("a")
+    b = entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__vec").alias("__va"),
+            F.col("b.__vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _table_signature(vec_col: str, dim: int, n_planes: int, table: int) -> Column:
+    """Packed sign signature for one LSH table (disjoint plane range)."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, table * n_planes + i)])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH (approximate, the 100 TB path)
 # ---------------------------------------------------------------------------
@@ -114,25 +188,10 @@ def lsh_topk(
     """
     def sig_table(df: DataFrame, role: str) -> DataFrame:
         # independent tables: disjoint plane index ranges per table
-        cols = []
-        for t in range(n_tables):
-            sig = F.lit(0).cast("long")
-            for i in range(n_planes):
-                plane = F.array(
-                    *[F.lit(x) for x in _hyperplane(dim, t * n_planes + i)]
-                )
-                d = F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), plane, lambda a, b: a.cast("double") * b
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                sig = sig.bitwiseOR(F.shiftleft(bit, i))
-            cols.append(sig.alias(f"sig{t}"))
+        cols = [
+            _table_signature(vec_col, dim, n_planes, t).alias(f"sig{t}")
+            for t in range(n_tables)
+        ]
         keyed = df.select(
             F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias(f"__{role}vec"), *cols
         )

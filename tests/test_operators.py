@@ -212,3 +212,22 @@ def test_sample_frames_grid(spark):
     rows = sample_frames(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
     assert len({r["frame_digest"] for r in rows}) == 4  # distinct per frame
+
+
+def test_lsh_bucket_pairs_precision_and_recall(spark, emb):
+    """Scale-path near-dup: exact-cosine verification makes precision
+    1.0; recall floor from the plane/table math."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_bucket_pairs(
+            emb, dim=64, threshold=0.4, n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert approx <= exact  # precision 1.0 by construction
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"bucket-pair recall too low: {recall:.2f}"
