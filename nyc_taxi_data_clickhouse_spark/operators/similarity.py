@@ -59,6 +59,89 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into cells; each query probes only the
+    ``n_probe`` cells whose centroids are nearest, then ranks exact
+    cosine within the probed candidates.
+
+    The scale shape: the corpus is assigned once (one ml pipeline pass
+    + a narrow column), candidates come from an equi-join on cell id —
+    per-query work is |corpus| * n_probe / n_cells instead of |corpus|.
+    Deterministic for a fixed seed.  Recall is tunable via n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n = corpus.count()
+    n_cells = n_cells or max(2, int(n ** 0.5 / 2))
+
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("neighbor_id", "__cvec", "__cell")
+
+    # centroid table (tiny) for query-side probing
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    probed = (
+        broadcast(q)
+        .crossJoin(broadcast(centroids))
+        .select(
+            "query_id",
+            "__qvec",
+            "cell",
+            cosine(F.col("__qvec"), F.col("centroid")).alias("__cdist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cdist").desc(), F.col("cell"))
+    probe_cells = (
+        probed.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qvec", F.col("cell").alias("__cell"))
+    )
+
+    cand = broadcast(probe_cells).join(assigned, "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_bucket_pairs(
     emb: DataFrame,
     dim: int,

@@ -117,6 +117,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint("text"))
 
 
+@register(
+    "text_subword_tokens",
+    r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
+    "AS subword_count FROM documents",
+    doc="§7 text: BPE-ish regex subword counting (token-budget estimate)",
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.subword_token_count("text"))
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # KMeans cells are engine-specific; recall floor in pytest
+    doc="§7 similarity: IVF (KMeans coarse quantizer, n_probe cells) "
+    "approximate top-5 (rows-only; recall vs brute force in pytest)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
 # ===========================================================================
 # dedup family
 # ===========================================================================

@@ -99,6 +99,23 @@ def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     return expr.otherwise(F.lit("und")).alias("lang_pred")
 
 
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single
+#: non-space-non-word symbols — the GPT-2-style split shape, minus
+#: lookaheads so the same pattern runs in Spark (Java regex) and
+#: DuckDB (RE2) identically.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count — the subword-rate estimate a training
+    pipeline budgets with (a word like "don't" counts 3: don / ' / t).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(SUBWORD_PATTERN), F.lit(0))).alias(
+        "subword_count"
+    )
+
+
 def fingerprint(col: Column | str, toks: Column | None = None) -> Column:
     """Polynomial rolling hash over the token stream, mod 1e9+7 —
     an order-sensitive document fingerprint (reorderings change it,

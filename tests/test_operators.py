@@ -231,3 +231,30 @@ def test_lsh_bucket_pairs_precision_and_recall(spark, emb):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.5, f"bucket-pair recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # tiny corpus, near-orthogonal neighbors: probing 4 of ~3 cells
+    # covers most of the corpus; expect high recall here
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_subword_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop-me now2day"), (2, ""), (3, "abc 123 !?")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["subword_count"]
+           for r in df.select("doc_id", text.subword_token_count("text")).collect()}
+    # don / ' / t / stop / - / me / now / 2 / day = 9
+    assert got == {1: 9, 2: 0, 3: 4}
