@@ -635,6 +635,91 @@ def asof_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Reshaping / array / date-arithmetic surface
+# ===========================================================================
+
+@register(
+    "pivot_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="reshape extension: groupBy().pivot() with fixed value list "
+    "(equivalent to conditional-count columns)",
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves combinations with no rows as NULL; the CASE-sum
+    # oracle yields 0 — normalize
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+@register(
+    "explode_tokens",
+    r"""
+    SELECT doc_id, tok, count(*) AS n
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+    """,
+    doc="array/lateral extension: explode token arrays to rows + per-doc "
+    "term frequency",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_latency_days,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(year(o_orderdate) * 4 + ((month(o_orderdate) - 1) // 3) AS INT) AS quarter_idx
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1
+    """,
+    doc="scalar extension: date arithmetic (datediff, date_trunc, "
+    "quarter bucketing) across a join",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.select(
+        "o_orderkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "ship_latency_days"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        (F.year("o_orderdate") * 4 + F.floor((F.month("o_orderdate") - 1) / 3))
+        .cast("int")
+        .alias("quarter_idx"),
+    )
+
+
+# ===========================================================================
 # TPC-H-classic analogs over the testdata subset — breadth proof for the
 # extended SQL surface (multi-aggregate blocks, selective filters,
 # conditional aggregation, join-heavy group-bys)
