@@ -46,6 +46,10 @@ DEFAULT_QUERIES = [
     "asof_join",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "window_running_total",
+    "contamination_ngram",
+    "near_dup_components",
 ]
 
 

@@ -380,3 +380,66 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup cluster assignment)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until a fixpoint.
+
+    Returns (node, component) for every node that appears in ``pairs``;
+    ``component`` is the smallest node id in the node's component.
+
+    Scale notes: each iteration is one join + one groupBy (two
+    shuffles) over the edge list; iterations = graph diameter, which
+    for near-dup clusters (quasi-cliques) is small.  Lineage is
+    truncated per iteration with ``localCheckpoint`` so the plan does
+    not grow unboundedly.  For adversarial graphs (long chains) the
+    published scale path is alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log n) rounds; near-dup graphs do not need it.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("__nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("__nmin", F.col("component")) < F.col("component")
+                ).cast("int").alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -1,0 +1,165 @@
+"""Further LLM-training-data operators (SURVEY §7 extension scope):
+PII redaction, duplicate-cluster assignment, benchmark-contamination
+detection, and connected-components grouping of near-duplicate pairs.
+
+All four are first-class curation steps in a 100 TB text pipeline:
+redact before training, cluster duplicates to pick one representative,
+drop documents that leak evaluation benchmarks, and group transitive
+near-dups so a whole family collapses to one survivor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+from nyc_taxi_data_clickhouse_spark.operators import dedup
+from nyc_taxi_data_clickhouse_spark.operators.dedup import (
+    _shingle_table,
+    connected_components,
+    normalize_text,
+)
+# email then digit redaction; both patterns are RE2-and-Java-regex
+# compatible (no backreferences or lookaround)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "pii_redact",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '[0-9]', '#', 'g') AS redacted
+    FROM documents
+    """,
+    doc="§7 text: PII scrubbing — email addresses -> <EMAIL>, digits "
+    "-> '#' (JVM regexp_replace, map-only, no shuffle); emits the "
+    "pre-redaction match count for audit",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), "[0-9]", "#"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
+           count(*) OVER (PARTITION BY norm) AS cluster_size
+    FROM (SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)
+    """,
+    doc="§7 dedup: per-document exact-dup cluster assignment (cluster "
+    "id = lowest doc_id sharing the normalized text) — one window "
+    "shuffle on the normalized-text key; the groupBy twin is "
+    "dedup_exact",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("__norm")
+    return (
+        docs.select("doc_id", normalize_text("text").alias("__norm"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("cluster_id"),
+            F.count("*").over(w).alias("cluster_size"),
+        )
+    )
+
+
+@register(
+    "contamination_ngram",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks)
+    SELECT d.doc_id, count(DISTINCT d.s) AS n_shared_shingles
+    FROM sh d
+    JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) b ON b.s = d.s
+    WHERE d.doc_id % 50 != 0
+    GROUP BY d.doc_id
+    """,
+    doc="§7 text: benchmark-contamination detection — training docs "
+    "sharing any 3-gram with the benchmark set (doc_id % 50 = 0), via "
+    "hashed-shingle equi-join against the (small, broadcastable) "
+    "benchmark shingle table; counts distinct leaked shingles",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench_sh = (
+        _shingle_table(bench, "text", "doc_id", 3)
+        .select("__sh")
+        .distinct()
+    )
+    train_sh = _shingle_table(train, "text", "doc_id", 3)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "__sh")
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(F.countDistinct("__sh").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "near_dup_components",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+    SELECT node, least(node, min(b)) AS component
+    FROM (SELECT DISTINCT a AS node FROM sym) nodes
+    JOIN reach ON reach.a = node
+    GROUP BY node
+    """,
+    doc="§7 dedup: connected components over the 0.9-Jaccard near-dup "
+    "graph by iterative min-label propagation (join+groupBy per round, "
+    "lineage checkpoint-truncated; oracle = DuckDB recursive CTE "
+    "transitive closure)",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    return connected_components(pairs).select("node", "component")

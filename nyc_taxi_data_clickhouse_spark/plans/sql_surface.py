@@ -1,0 +1,544 @@
+"""Extended SQL-surface suite entries: correlated-subquery shapes,
+window frames, set operations, statistical aggregates, deterministic
+sampling, and time-series gap-fill.
+
+The reference is batch-SQL-only with four aggregation queries
+(src/benchmark_clickhouse.sh:3-14); these entries extend the engine's
+query surface the way SURVEY §7 prescribes — every shape expressed
+declaratively so Catalyst plans it (scalar subqueries become
+broadcast-joined single-row relations, EXISTS/NOT EXISTS become
+left-semi/anti hash joins, window frames stay in a single shuffle per
+partitioning key).
+
+Scale notes (100 TB):
+- Scalar subqueries (global avg) reduce to a 1-row broadcast — no
+  driver collect, no second scan barrier beyond the agg itself.
+- Q18-shape (HAVING-filtered IN subquery) aggregates lineitem FIRST
+  (map-side partial combine shrinks 100 TB to |orders| rows) and only
+  then joins back — never the other way around.
+- Window shapes shuffle once on their partition key; the running-sum /
+  lag / ntile frames are all streaming-friendly within a partition
+  (no buffering beyond the frame).
+- The gap-fill calendar is generated from a 1-row aggregate via
+  `sequence` + `explode` — O(days), never O(rows) — then LEFT-joined
+  broadcast against the pre-aggregated dailies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nyc_taxi_data_clickhouse_spark.suite import load_events, load_table, register
+
+
+# ===========================================================================
+# Correlated-subquery shapes (TPC-H Q2 / Q4 / Q12 / Q16 / Q18 / Q22 analogs)
+# ===========================================================================
+
+@register(
+    "scalar_subquery_min",
+    """
+    SELECT l.l_partkey, l.l_suppkey, l.l_orderkey,
+           round(l.l_extendedprice, 2) AS min_price
+    FROM lineitem l
+    WHERE l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q2 shape: correlated scalar-subquery min-per-group, "
+    "planned as a single window min (one shuffle on the group key) "
+    "instead of agg+self-join (two scans)",
+)
+def scalar_subquery_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey")
+    return (
+        li.withColumn("__min", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+    )
+
+
+@register(
+    "exists_correlated",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi residual "
+    "condition -> left-semi hash join on the equi key, residual as "
+    "join filter; then 1-key count",
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "not_exists_above_avg",
+    """
+    SELECT n.n_name, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (global avg -> "
+    "1-row broadcast, no driver collect) + NOT EXISTS anti join + "
+    "broadcast dim join",
+)
+def not_exists_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("__avg"))
+    rich = c.join(broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg"), "inner")
+    inactive = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        inactive.join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "groupby_having_join_back",
+    """
+    SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 220) t
+      ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape: IN (GROUP BY ... HAVING) subquery -> aggregate "
+    "the big fact FIRST (partial combine shrinks it to |orders| keys), "
+    "then join back; never join-then-aggregate at 100 TB",
+)
+def groupby_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 220)
+    )
+    return (
+        o.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "conditional_agg_case",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(l.l_shipdate)
+    """,
+    doc="TPC-H Q12 shape: CASE-based conditional aggregation (pivots a "
+    "predicate into parallel sums in one pass; no second scan)",
+)
+def conditional_agg_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "distinct_count_excl",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN exclusion subquery (anti join against "
+    "a broadcast-sized key set) + count(DISTINCT) over 2 group keys",
+)
+def distinct_count_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: top-20 revenue from returned items — filter pushed "
+    "below the join, fact aggregated on customer key, TakeOrdered "
+    "top-k (no global sort); c_custkey tie-break keeps LIMIT "
+    "deterministic",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Window-frame varieties (running total, lag delta, ntile, moving average)
+# ===========================================================================
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+    doc="window frame: per-customer running sum (ROWS UNBOUNDED "
+    "PRECEDING — streaming frame, no per-row buffering; one shuffle "
+    "on the partition key)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS DOUBLE) AS days_since_prev
+    FROM orders
+    """,
+    doc="window frame: lag() inter-order gap in days (NULL for each "
+    "customer's first order; DOUBLE on both sides because a nullable "
+    "int column widens to float64 through the oracle's pandas bridge)",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("double").alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_ntile",
+    """
+    SELECT n_name, quartile, count(*) AS n_cust,
+           round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT n.n_name, c.c_acctbal,
+             ntile(4) OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal, c.c_custkey) AS quartile
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+    GROUP BY n_name, quartile
+    """,
+    doc="window frame: ntile(4) acctbal quartiles per nation "
+    "(full ORDER BY incl. unique key keeps tile assignment "
+    "deterministic), then per-tile stats",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_name", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("n_name", "quartile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "moving_average",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(l_extendedprice) AS revenue
+      FROM lineitem GROUP BY 1)
+    SELECT day,
+           round(revenue, 2) AS revenue,
+           round(avg(revenue) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM daily
+    """,
+    doc="time-series: 7-day moving average over pre-aggregated dailies "
+    "— aggregate first (100 TB -> O(days) rows), window second; the "
+    "single-partition window is safe because its input is tiny",
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum("l_extendedprice").alias("__rev")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("__rev", 2).alias("revenue"),
+        F.round(F.avg("__rev").over(w), 2).alias("ma7"),
+    )
+
+
+# ===========================================================================
+# Set operations
+# ===========================================================================
+
+@register(
+    "intersect_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+    """,
+    doc="§2.7 extension: INTERSECT (distinct) — customers active in "
+    "both years; plans as aggregate + semi join",
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y00 = o.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return y95.intersect(y00)
+
+
+@register(
+    "except_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+    """,
+    doc="§2.7 extension: EXCEPT (distinct) — churned customers; plans "
+    "as aggregate + anti join",
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y00 = o.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return y95.subtract(y00)
+
+
+# ===========================================================================
+# Statistical aggregates
+# ===========================================================================
+
+@register(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 4) AS sd_discount,
+           round(var_samp(l_quantity), 4) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4 extension: statistical aggregates (corr / covar_samp / "
+    "stddev_samp / var_samp) — single-pass partial+final moment "
+    "accumulation, same shuffle profile as sum()",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+# ===========================================================================
+# Deterministic sampling
+# ===========================================================================
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE (l_orderkey * 7 + l_linenumber) % 100 <
+          CASE WHEN l_returnflag = 'R' THEN 20 ELSE 5 END
+    """,
+    doc="sampling: deterministic stratified sample via key-hash mod "
+    "(20% of returns, 5% otherwise) — reproducible across engines and "
+    "runs, unlike TABLESAMPLE; pure map-side filter, no shuffle",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rate = F.when(F.col("l_returnflag") == "R", 20).otherwise(5)
+    bucket = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 100
+    return li.filter(bucket < rate).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+# ===========================================================================
+# Time-series gap-fill
+# ===========================================================================
+
+@register(
+    "gapfill_timeseries",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    calendar AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds)
+    SELECT c.day, coalesce(d.n_orders, 0) AS n_orders
+    FROM calendar c LEFT JOIN daily d ON d.day = c.day
+    """,
+    doc="time-series: zero-filled daily gap-fill — calendar generated "
+    "from a 1-row min/max aggregate via sequence+explode (O(days), "
+    "never O(rows)), LEFT-joined against pre-aggregated dailies",
+)
+def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    calendar = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return calendar.join(daily, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+# ===========================================================================
+# Events funnel (conditional-min conversion analysis)
+# ===========================================================================
+
+@register(
+    "events_funnel",
+    """
+    SELECT user_id,
+           CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+                 AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+                 AND min(CASE WHEN event_type = 'view' THEN ts END) <
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                THEN 1 ELSE 0 END AS converted
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="events: view->purchase funnel via conditional-min aggregation "
+    "— one pass, one shuffle on user_id; no self-join of the event "
+    "stream",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return e.groupBy("user_id").agg(
+        F.when(
+            first_view.isNotNull() & first_buy.isNotNull() & (first_view < first_buy),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )

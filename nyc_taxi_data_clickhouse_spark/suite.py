@@ -72,6 +72,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     # import for side effects: modules register their suite entries
     from nyc_taxi_data_clickhouse_spark.operators import suite_entries  # noqa: F401
+    from nyc_taxi_data_clickhouse_spark.operators import llm_extras  # noqa: F401
+    from nyc_taxi_data_clickhouse_spark.plans import sql_surface  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -258,3 +258,28 @@ def test_subword_token_count(spark):
            for r in df.select("doc_id", text.subword_token_count("text")).collect()}
     # don / ' / t / stop / - / me / now / 2 / day = 9
     assert got == {1: 9, 2: 0, 3: 4}
+
+
+def test_connected_components_synthetic(spark):
+    """Min-label propagation matches the known components of a small
+    graph: {1,2,3,8,9} (bridged via 9-1) and {5,6}; 7 is absent
+    because singleton nodes never appear in a pair list."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (8, 1), (5, 5), (6, 5)}
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter) still converges to a
+    single component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 13
