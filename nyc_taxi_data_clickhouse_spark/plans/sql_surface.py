@@ -542,3 +542,232 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("converted")
     )
+
+
+# ===========================================================================
+# Deeper TPC-H analogs (Q7 / Q8 / Q17 / Q20)
+# ===========================================================================
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, ship_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7: bidirectional nation-pair trade volume by year — the "
+    "nation filter lands on both broadcast dims so the fact rows are "
+    "pruned during the join, not after",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA')
+    GROUP BY order_year
+    """,
+    doc="TPC-H Q8: one nation's market share inside a region's customer "
+    "base, by year — numerator as a conditional sum in the SAME "
+    "aggregation pass as the denominator (no second scan, no join of "
+    "two aggregates)",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = broadcast(
+        n.join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")).select(
+            F.col("n_nationkey").alias("n2_key")
+        )
+    )
+    n1 = broadcast(
+        n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("n2_key") == F.col("c_nationkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17: correlated scalar avg * constant threshold — the "
+    "per-part average is a window aggregate over the already-filtered "
+    "brand subset's parts (the brand filter is pushed below the "
+    "window's shuffle via the part join)",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # join first so the window only shuffles the brand's lineitems;
+    # the correlated subquery in the oracle scans per-part over ALL
+    # lineitem, but avg(l_quantity) per part is identical on the
+    # brand-filtered subset because the filter is on the part side
+    w = W.partitionBy("l_partkey")
+    branded = li.join(
+        broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return (
+        branded.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_nested_in",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 400)
+    """,
+    doc="TPC-H Q20 shape: nested IN over a HAVING-filtered aggregate — "
+    "aggregate lineitem down to supplier keys first, then left-semi "
+    "join the supplier dim against that small key set",
+)
+def tpch_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    keys = (
+        li.join(broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 400)
+        .select("l_suppkey")
+    )
+    return s.join(
+        broadcast(keys), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+# ===========================================================================
+# Fuzzy string matching + approximate percentiles
+# ===========================================================================
+
+@register(
+    "fuzzy_levenshtein",
+    """
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="fuzzy matching: Levenshtein pairs over the DISTINCT name "
+    "domain (dedup before the quadratic comparison — at scale, block "
+    "first via length/prefix/LSH so the cross join is per-bucket)",
+)
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@register(
+    "approx_percentile",
+    None,  # sketch-based; accuracy bound asserted in pytest
+    doc="§2.4 extension: approx_percentile (Greenwald-Khanna sketch, "
+    "mergeable across partitions — the 100 TB path where exact "
+    "percentile's global sort is not viable); rows-only gate, error "
+    "bound vs exact asserted in pytest",
+)
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        )
+    )

@@ -51,3 +51,21 @@ def test_asof_join_keeps_all_left_rows(spark):
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     joined = asof_join(clicks, purchases, value_cols=("value",))
     assert joined.count() == clicks.count()
+
+
+def test_approx_percentile_within_error_bound(spark):
+    """Greenwald-Khanna sketch at accuracy 10000 stays within 1% of the
+    exact interpolated percentile on every returnflag group."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_CORRECTNESS
+
+    li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+            "exact"
+        ),
+    )
+    for r in both.collect():
+        for a, e in zip(r["approx"], r["exact"]):
+            assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
