@@ -163,3 +163,67 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
     return connected_components(pairs).select("node", "component")
+
+
+# ===========================================================================
+# composite curation pipeline (quality gate -> lang gate -> exact dedup
+# -> PII redaction) — the end-to-end shape a training-data run executes
+# ===========================================================================
+
+from nyc_taxi_data_clickhouse_spark.operators.suite_entries import _WC, _hits  # noqa: E402
+from nyc_taxi_data_clickhouse_spark.operators import text as text_ops  # noqa: E402
+
+
+@register(
+    "documents_curation",
+    rf"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {_WC} AS wc,
+             {_hits('en')} AS c_en, {_hits('de')} AS c_de,
+             {_hits('es')} AS c_es, {_hits('fr')} AS c_fr,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    f AS (
+      SELECT * FROM h
+      WHERE wc >= 10
+        AND greatest(c_en, c_de, c_es, c_fr) > 0
+        AND c_en = greatest(c_en, c_de, c_es, c_fr)),
+    k AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep FROM f)
+    SELECT doc_id, wc AS token_count,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '[0-9]', '#', 'g') AS redacted
+    FROM k WHERE doc_id = keep
+    """,
+    doc="§7 composite: the full curation pipeline in one plan — token "
+    "floor (wc>=10), English-only language gate, exact-dup removal "
+    "(keep lowest id), PII redaction.  Single scan, one window "
+    "shuffle; each stage is the already-oracle-gated operator, "
+    "composed",
+)
+def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id", "text", text_ops.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "text",
+        text_ops.token_count("text", toks=F.col("__toks")).alias("token_count"),
+        text_ops.lang_id("text", toks=F.col("__toks")).alias("__lang"),
+        normalize_text("text").alias("__norm"),
+    )
+    kept = pre.filter((F.col("token_count") >= 10) & (F.col("__lang") == "en"))
+    w = W.partitionBy("__norm")
+    return (
+        kept.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select(
+            "doc_id",
+            "token_count",
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), "[0-9]", "#"
+            ).alias("redacted"),
+        )
+    )

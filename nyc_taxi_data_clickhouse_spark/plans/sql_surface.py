@@ -771,3 +771,64 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_pcts"
         )
     )
+
+
+# ===========================================================================
+# JSONL source/sink roundtrip + streaming interval join
+# ===========================================================================
+
+@register(
+    "json_roundtrip_identity",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="§2.1 extension: gzipped JSON-lines sink + explicit-schema "
+    "source roundtrip (identity oracle) — the corpus interchange "
+    "format LLM pipelines actually use",
+)
+def json_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nyc_taxi_data_clickhouse_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="json_roundtrip_")
+    write_jsonl(docs, out, max_records_per_file=20_000)
+    return read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="§2.9 extension: watermarked stream-stream interval join "
+    "(click->purchase within 1h), drained with availableNow — oracle "
+    "is the batch interval join; the two-sided time bound is what "
+    "lets Spark expire join state instead of growing it forever",
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        stream_stream_join,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    clicks = read_events_stream(spark, path).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_completion(
+        stream_stream_join(clicks, purchases, horizon="1 hour"),
+        f"ssjoin_{uuid.uuid4().hex[:8]}",
+    )

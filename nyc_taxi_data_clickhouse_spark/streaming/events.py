@@ -209,3 +209,36 @@ def run_to_completion(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Interval stream-stream inner join: each click matched to the
+    same user's purchases within ``[click.ts, click.ts + horizon]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can expire join state: a click
+    is held only until its horizon passes the watermark, a purchase
+    only until it can no longer match any retained click.  Without the
+    time bound the state store would grow forever — the canonical
+    stream-stream join pitfall.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id"
+            " AND p.ts >= c.ts"
+            f" AND p.ts <= c.ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )

@@ -103,3 +103,32 @@ def test_sessionize_stream_matches_batch_sessions(spark, stream):
     missing = b - g
     n_users = e.select("user_id").distinct().count()
     assert len(missing) <= n_users
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked interval join, fully drained, equals the batch
+    interval join over the same bounded input."""
+    path = EVENTS_PATH
+    clicks_s = ev.read_events_stream(spark, path).filter(F.col("event_type") == "click")
+    buys_s = ev.read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = ev.run_to_completion(
+        ev.stream_stream_join(clicks_s, buys_s, horizon="1 hour"), "ssjoin_test"
+    )
+    e = _batch_events(spark)
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    batch = c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts"
+            " AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
