@@ -227,3 +227,93 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("redacted"),
         )
     )
+
+
+# ===========================================================================
+# embedding centroids + quantization, regex extraction, array ops
+# ===========================================================================
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT e.label, g.pos, round(avg(e.embedding[g.pos]), 4) AS c
+    FROM embeddings e, generate_series(1, 64) AS g(pos)
+    GROUP BY e.label, g.pos
+    """,
+    doc="§7 embeddings: per-label mean vector (posexplode -> (key,pos) "
+    "hash agg with map-side partial combine; long format avoids "
+    "order-sensitive array assembly)",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.embeddings import centroids_long
+
+    return centroids_long(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT e.vec_id, g.pos,
+           CAST(round(e.embedding[g.pos] * 127.0
+                / nullif(list_max(list_transform(e.embedding, v -> abs(v))), 0.0),
+                0) AS BIGINT) AS q
+    FROM embeddings e, generate_series(1, 64) AS g(pos)
+    """,
+    doc="§7 embeddings: symmetric int8 scalar quantization (per-vector "
+    "scale via higher-order aggregate, map-only; 4x storage cut before "
+    "ANN indexing)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.embeddings import quantize_int8_long
+
+    return quantize_int8_long(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "regex_extract_groups",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           regexp_extract(text, '\b([A-Z][a-z]+)\b', 1) AS first_capitalized
+    FROM documents
+    """,
+    doc="§2.8 extension: regexp_extract with capture groups (both "
+    "engines return '' on no-match; map-only)",
+)
+def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_extract("text", r"\b([A-Z][a-z]+)\b", 1).alias("first_capitalized"),
+    )
+
+
+@register(
+    "array_ops",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS d
+      FROM documents WHERE trim(text) != '')
+    SELECT doc_id,
+           len(d) AS n_distinct,
+           array_to_string(list_sort(d), ' ') AS sorted_tokens,
+           len(list_filter(d, x -> list_contains(['the','a','of','and','to'], x)))
+               AS n_stopwords
+    FROM t
+    """,
+    doc="§2.8 extension: array function surface — distinct, sort, "
+    "join, filtered intersection size, all as JVM higher-order "
+    "functions over the token array (no explode, no shuffle)",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    stop = F.array([F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    return docs.select(
+        "doc_id",
+        F.size(d).alias("n_distinct"),
+        F.array_join(F.sort_array(d), " ").alias("sorted_tokens"),
+        F.size(F.array_intersect(d, stop)).alias("n_stopwords"),
+    )
