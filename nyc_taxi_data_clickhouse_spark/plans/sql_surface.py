@@ -832,3 +832,56 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         stream_stream_join(clicks, purchases, horizon="1 hour"),
         f"ssjoin_{uuid.uuid4().hex[:8]}",
     )
+
+
+# ===========================================================================
+# Histogram bucketing + deterministic group-concat
+# ===========================================================================
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="§2.4 extension: fixed-width histogram via arithmetic "
+    "bucketing (floor(v/width)) — a 1-key hash agg, no sort; the "
+    "portable form of width_bucket",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return e.groupBy(
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@register(
+    "group_concat_sorted",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="§2.4 extension: deterministic group-concat — collect_set "
+    "sorted before joining, so the result is order-stable across "
+    "partitionings (unordered collect_list would be flaky at scale)",
+)
+def group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("cnt"),
+    )

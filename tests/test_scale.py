@@ -62,3 +62,66 @@ def test_salted_join_matches_plain(spark, how):
     assert salted.count() == plain.count()
     key = lambda r: (r["l_orderkey"], r["l_linenumber"], r["o_totalprice"])
     assert {key(r) for r in salted.collect()} == {key(r) for r in plain.collect()}
+
+
+def _plan(spark, name: str) -> str:
+    from nyc_taxi_data_clickhouse_spark import suite
+
+    df = suite.registry()[name].spark(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q10_plan_broadcasts_and_pushes_filters(spark):
+    """Q10's dims must broadcast (no shuffle of the fact for dim
+    lookups), the returnflag/date filters must reach the parquet scan,
+    and top-k must plan as TakeOrdered, not a global sort."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_correlated_plans_as_semi_join(spark):
+    """The EXISTS subquery must become a semi join with the non-equi
+    residual as a join condition — never a full join + dedup."""
+    plan = _plan(spark, "exists_correlated")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_scalar_subquery_min_single_shuffle(spark):
+    """The window min-per-group shape must shuffle exactly once (on
+    the partition key) — not the agg+self-join form's two scans."""
+    import re
+
+    plan = _plan(spark, "scalar_subquery_min")
+    # count numbered operator headers "(N) Op" — the tree rendering
+    # above them repeats every operator name once more
+    ops = [m.group(1) for m in re.finditer(r"\(\d+\) (\w+)", plan)]
+    assert ops.count("Exchange") == 1
+    assert ops.count("Window") == 1
+    assert ops.count("Scan") == 1
+
+
+def test_moving_average_aggregates_before_window(spark):
+    """The dailies aggregation must run below the single-partition
+    window, so the unpartitioned window only ever sees O(days) rows."""
+    plan = _plan(spark, "moving_average")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted explain lists operators leaves-last; the window must
+    # appear ABOVE (earlier than) only the final projection, and the
+    # aggregate must exist on the scan side
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle table is tiny by contract (2% of docs);
+    it must broadcast so the training-side shingles never shuffle."""
+    plan = _plan(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
