@@ -76,3 +76,68 @@ def explain_has_shuffle(df: DataFrame) -> bool:
     plan-shape assertion helper for tests and tuning."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional data layout)
+# ---------------------------------------------------------------------------
+
+def zorder_key(cols: list, bits: int = 21) -> "F.Column":
+    """Morton (Z-order) interleave of up to 3 non-negative integer
+    columns into one long sort key, entirely in JVM expressions.
+
+    Sorting (or range-partitioning) by this key before a parquet write
+    clusters rows so that BOTH dimensions' min/max row-group stats stay
+    tight — a filter on either column prunes row groups, where a plain
+    lexicographic sort only prunes on its leading column.  This is the
+    Spark-native analog of the multi-dimensional clustering the
+    reference gets one-dimensionally from its MergeTree primary key
+    (README.md:548).
+
+    ``bits`` caps each dimension at 2^bits-1 (values are clamped);
+    21 bits x 3 dims fills the 63 usable bits of a long.  Inputs must
+    be pre-scaled to non-negative ints (rank, epoch-day, bucketed
+    price, ...).
+    """
+    n = len(cols)
+    if not 1 <= n <= 3:
+        raise ValueError("zorder_key supports 1-3 columns")
+    total = bits * n
+    key = F.lit(0).cast("long")
+    clamped = [
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col(c).cast("long") if isinstance(c, str) else c.cast("long"),
+                    F.lit((1 << bits) - 1).cast("long")),
+        )
+        for c in cols
+    ]
+    # bit b of column d lands at output position b*n + d
+    for b in range(bits):
+        for d, col in enumerate(clamped):
+            out_pos = b * n + d
+            if out_pos >= total:
+                continue
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, out_pos))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list,
+    bits: int = 21,
+    num_files: int = 32,
+) -> None:
+    """Write parquet clustered by the Z-order of ``zcols``:
+    range-partition on the Morton key (so files cover disjoint key
+    ranges), sort within partitions, drop the helper key."""
+    keyed = df.withColumn("__z", zorder_key(zcols, bits))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

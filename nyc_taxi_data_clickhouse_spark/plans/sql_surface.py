@@ -885,3 +885,78 @@ def group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("cnt"),
     )
+
+
+# ===========================================================================
+# Merge upsert (latest-wins) + argmax-per-group
+# ===========================================================================
+
+@register(
+    "upsert_latest_wins",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0),
+    unioned AS (
+      SELECT * FROM orders UNION ALL SELECT * FROM updates),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY o_orderdate DESC) AS rn
+      FROM unioned)
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    doc="merge upsert (latest-wins): union current+updates, keep the "
+    "newest version per key via one window shuffle — the "
+    "recompute-and-overwrite pattern immutable parquet needs in place "
+    "of MERGE; updates are a simulated price-adjustment batch (an "
+    "exact additive bump, so both engines round identically)",
+)
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.plans.upsert import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"], "o_orderdate")
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderdate"
+    )
+
+
+@register(
+    "argmax_per_group",
+    """
+    SELECT user_id, event_type AS top_type, n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+    doc="argmax-per-group: each user's most frequent event type — "
+    "aggregate first (shrinks to |user x type|), then a window "
+    "row_number with a lexicographic tie-break for determinism; the "
+    "portable, tie-stable form of mode()/max_by()",
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )

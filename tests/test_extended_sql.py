@@ -69,3 +69,20 @@ def test_approx_percentile_within_error_bound(spark):
     for r in both.collect():
         for a, e in zip(r["approx"], r["exact"]):
             assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
+
+
+def test_merge_upsert_update_wins_version_tie(spark):
+    """Latest version wins; on an exact version tie the UPDATE side
+    must win (deterministic reprocessing semantics)."""
+    from nyc_taxi_data_clickhouse_spark.plans.upsert import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, "old", 10), (2, "keep", 20)], "k long, v string, ver long"
+    )
+    upd = spark.createDataFrame(
+        [(1, "new-tied", 10), (3, "insert", 5)], "k long, v string, ver long"
+    )
+    got = {
+        (r["k"], r["v"]) for r in merge_upsert(cur, upd, ["k"], "ver").collect()
+    }
+    assert got == {(1, "new-tied"), (2, "keep"), (3, "insert")}

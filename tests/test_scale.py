@@ -125,3 +125,71 @@ def test_contamination_broadcasts_benchmark_set(spark):
     it must broadcast so the training-side shingles never shuffle."""
     plan = _plan(spark, "contamination_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def _py_morton(vals, bits):
+    out = 0
+    n = len(vals)
+    for b in range(bits):
+        for d, v in enumerate(vals):
+            out |= ((v >> b) & 1) << (b * n + d)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    from nyc_taxi_data_clickhouse_spark.plans.scale import zorder_key
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 1), (2**21 + 5, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [r["z"] for r in df.select(zorder_key(["x", "y"]).alias("z")).collect()]
+    clamp = (1 << 21) - 1
+    want = [_py_morton((min(x, clamp), min(y, clamp)), 21) for x, y in rows]
+    assert got == want
+
+
+def test_zorder_layout_prunes_on_second_dimension(spark, tmp_path):
+    """With a plain x-sort every file spans the full y range, so a
+    y-filter can prune nothing; Z-order keeps per-file y ranges tight
+    so most files' min/max stats exclude a narrow y window."""
+    import pyarrow.parquet as pq
+    import glob
+
+    df = (
+        spark.range(0, 1 << 14)
+        .select(
+            (F.hash("id") % 1024).alias("hx"),
+            (F.hash(F.col("id") + 1) % 1024).alias("hy"),
+        )
+        .select(F.abs("hx").alias("x").cast("long"), F.abs("hy").alias("y").cast("long"))
+    )
+
+    from nyc_taxi_data_clickhouse_spark.plans.scale import write_zordered
+
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def files_intersecting_y_window(path, lo=0, hi=63):
+        hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ymin = min(
+                md.row_group(i).column(1).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            ymax = max(
+                md.row_group(i).column(1).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if ymax >= lo and ymin <= hi:
+                hit += 1
+        return hit
+
+    z_hits = files_intersecting_y_window(zpath)
+    x_hits = files_intersecting_y_window(xpath)
+    assert z_hits < x_hits, (z_hits, x_hits)
