@@ -1,0 +1,135 @@
+"""Driver-facing suite entries for the streaming extensions
+(SURVEY §2.9 — absent in the reference, extension scope per §7).
+
+Each entry drains a bounded Structured Streaming pipeline with
+availableNow and is oracle-gated against the equivalent batch SQL —
+the stream==batch convergence contract that defines correctness for a
+streaming operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+
+
+@register(
+    "streaming_sliding_rollup",
+    """
+    WITH offs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(k))
+    SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+             AS win_start,
+           event_type, count(*) AS cnt
+    FROM events CROSS JOIN offs
+    GROUP BY win_start, event_type
+    """,
+    doc="§2.9: sliding-window rollup (1h window, 15m slide) drained "
+    "with availableNow; oracle assigns each event to its 4 covering "
+    "windows by epoch-microsecond arithmetic — stream==batch "
+    "convergence, including the window-alignment rule (epoch-aligned "
+    "starts, same as Spark's window())",
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        sliding_rollup_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(
+        sliding_rollup_stream(stream), name, output_mode="complete"
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT c_mktsegment AS segment, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY segment, event_type
+    """,
+    doc="§2.9: stream-static broadcast join (events stream enriched "
+    "with the customer dimension) + windowless global agg in complete "
+    "mode; the static side broadcasts per micro-batch so the stream "
+    "never shuffles for the join",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        stream_static_enrich,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream_static_enrich(stream, dim, "user_id", "c_custkey")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(agg, name, output_mode="complete")
+
+
+@register(
+    "streaming_upsert_latest",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="§2.9: foreachBatch incremental merge-upsert sink — events "
+    "split into 4 time-ranged files streamed one file per micro-batch, "
+    "each batch latest-wins-merged into a parquet snapshot "
+    "(plans/upsert.merge_upsert); the converged snapshot must equal "
+    "the batch latest-row-per-user, whatever the arrival order",
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        incremental_upsert_stream,
+    )
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    work = tempfile.mkdtemp(prefix="upsert_stream_")
+    try:
+        # split the single events file into 4 time-ranged files so the
+        # availableNow drain really runs multiple micro-batches
+        src_dir = os.path.join(work, "src")
+        batch = load_events(spark, sf_dir)  # ts already micros timestamp
+        batch.repartitionByRange(4, "ts").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withColumn("__ver", F.struct("ts", "event_id"))
+        )
+        snap = os.path.join(work, "snapshot")
+        incremental_upsert_stream(stream, snap, ["user_id"], "__ver")
+
+        return (
+            spark.read.parquet(snap)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+            )
+            # materialize before the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

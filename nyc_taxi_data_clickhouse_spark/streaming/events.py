@@ -242,3 +242,89 @@ def stream_stream_join(
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.value").alias("purchase_value"),
     )
+
+
+def sliding_rollup_stream(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window rollup: each event contributes to length/slide
+    overlapping windows (window() emits one row per covering window).
+
+    State grows by the overlap factor (4x here) but stays
+    (window x event_type)-sized — independent of event volume, so a
+    1000-executor cluster shards it trivially."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on_left: str, on_right: str
+) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    static dimension (re-read per batch, so slowly-changing dims pick
+    up updates).  The static side broadcasts — the stream never
+    shuffles for the join, which is what keeps this viable when the
+    stream side is unbounded."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), F.col(on_left) == F.col(on_right))
+
+
+def incremental_upsert_stream(
+    events: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    version_col: str,
+) -> int:
+    """foreachBatch incremental merge sink: every micro-batch is
+    merge-upserted (latest version wins, plans/upsert.merge_upsert)
+    into a parquet snapshot, so the snapshot converges to
+    "latest row per key" regardless of arrival order.
+
+    Returns the number of micro-batches processed.  The
+    write-to-tmp-then-swap makes each batch's publish atomic at the
+    directory level; on a real deployment the same foreachBatch body
+    targets a transactional table format instead.
+
+    Scale notes: each batch rewrites only the merged snapshot —
+    with the snapshot partitioned/bucketed on the key, rewrite cost is
+    proportional to touched partitions (dynamic partition overwrite),
+    not snapshot size; state lives in the table, not the state store,
+    so there is no watermark bound on how late an update may arrive.
+    """
+    import os
+    import shutil
+
+    from nyc_taxi_data_clickhouse_spark.plans.upsert import merge_upsert
+
+    n_batches = {"n": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        spark = batch_df.sparkSession
+        if os.path.exists(snapshot_dir):
+            current = spark.read.parquet(snapshot_dir)
+        else:
+            current = batch_df.limit(0)
+        merged = merge_upsert(current, batch_df, key_cols, version_col)
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.replace(tmp, snapshot_dir)
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", snapshot_dir + ".ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

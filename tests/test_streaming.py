@@ -132,3 +132,32 @@ def test_stream_stream_join_matches_batch(spark):
         F.col("p.value").alias("purchase_value"),
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_incremental_upsert_processes_multiple_batches(spark, tmp_path):
+    """The foreachBatch merge sink must really run incrementally
+    (one micro-batch per source file) and converge to the batch
+    latest-row-per-key answer regardless of arrival order."""
+    e = _batch_events(spark).limit(2000)
+    src = str(tmp_path / "src")
+    e.repartitionByRange(4, "ts").write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("__ver", F.struct("ts", "event_id"))
+    )
+    snap = str(tmp_path / "snap")
+    n = ev.incremental_upsert_stream(stream, snap, ["user_id"], "__ver")
+    assert n >= 4, "expected one micro-batch per source file"
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+    )
+    got = spark.read.parquet(snap).select("user_id", "event_id")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
