@@ -1,0 +1,163 @@
+r"""Corpus/statistics analysis entries: TF-IDF, heavy-hitter terms,
+and table column profiling.
+
+Extends the text-analysis surface (SURVEY §7 LLM-data scope: quality
+scoring, token counting already in operators/text.py) with the two
+classic corpus statistics a training-data pipeline computes — TF-IDF
+term weighting and document-frequency heavy hitters — plus the
+data-profiling introspection an engine needs for ANALYZE-style stats
+(the reference's only profiling is row-count monitoring,
+README.md:240, 271-278; SURVEY §2.1 S8).
+
+Scale notes (100 TB):
+- TF-IDF: term frequencies aggregate per (doc, term) FIRST (map-side
+  combine on the tokenizer output), document frequencies per term
+  second; the corpus size N is a 1-row broadcast.  The only big
+  shuffle is term-keyed — skew from stopword terms is the known
+  hazard, and AQE skew-join handles it (or pre-filter stopwords).
+- Heavy hitters: exact two-phase agg; the support threshold is a
+  1-row broadcast, never a driver-side collect.
+- Profiling: one pass over the table computing every column's
+  null/distinct/min/max simultaneously; multiple exact
+  countDistincts expand the input (one projection per distinct agg) —
+  at 100 TB swap to approx_count_distinct, same plan otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nyc_taxi_data_clickhouse_spark.operators.text import tokens
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+
+
+@register(
+    "text_tfidf_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS raw,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, round(raw, 4) AS tfidf
+    FROM scored WHERE rn <= 3
+    """,
+    doc="TF-IDF term weighting: top-3 terms per document by "
+    "tf*ln(N/df) with a lexicographic tie-break; per-(doc,term) tf "
+    "aggregates first, corpus size N is a 1-row broadcast — the only "
+    "big shuffle is term-keyed (stopword skew -> AQE skew join)",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    raw = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(raw.desc(), "term")
+    return (
+        tf.join(df_, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "term", F.round(raw, 4).alias("tfidf"))
+    )
+
+
+@register(
+    "heavy_hitter_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT term, n_docs
+    FROM df CROSS JOIN n
+    WHERE n_docs > 0.25 * n
+    ORDER BY n_docs DESC, term
+    """,
+    doc="document-frequency heavy hitters: terms present in >25% of "
+    "documents — exact two-phase distinct agg; the support threshold "
+    "is a 1-row broadcast (at extreme cardinality, swap the exact df "
+    "agg for a count-min sketch, same downstream shape)",
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        df_.crossJoin(broadcast(n))
+        .filter(F.col("n_docs") > 0.25 * F.col("n"))
+        .select("term", "n_docs")
+        .orderBy(F.col("n_docs").desc(), "term")
+    )
+
+
+#: columns profiled by profile_columns (orders table)
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_columns",
+    _profile_oracle(),
+    doc="ANALYZE-style column profiling (SURVEY §2.1 S8 extension): "
+    "null count, exact distinct count, min/max per column, computed "
+    "in ONE scan (all aggregates in a single agg node) and unpivoted "
+    "with stack(); at 100 TB swap exact distinct for "
+    "approx_count_distinct",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one_row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
