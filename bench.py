@@ -50,6 +50,11 @@ DEFAULT_QUERIES = [
     "window_running_total",
     "contamination_ngram",
     "near_dup_components",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_supplier",
+    "window_range_frame",
+    "text_tfidf_topk",
 ]
 
 
