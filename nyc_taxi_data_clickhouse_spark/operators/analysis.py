@@ -161,3 +161,91 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+      FROM t)
+    SELECT doc_id,
+           (start - 1) // 40 AS chunk_id,
+           array_to_string(toks[start:start+49], ' ') AS chunk_text,
+           CAST(len(toks[start:start+49]) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+    doc="document chunking for training/RAG pipelines: overlapping "
+    "50-token windows at stride 40, entirely JVM-side "
+    "(sequence -> explode -> slice -> array_join, no Python worker); "
+    "map-only, so it scales as a pure narrow transform — chunk "
+    "explosion multiplies rows ~len/stride, which partition sizing "
+    "must budget for",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    window, stride = 50, 40
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    return (
+        toked.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks"), F.lit(1)),
+                    F.lit(stride),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / stride).alias("chunk_id"),
+            F.array_join(F.slice("toks", F.col("start"), window), " ").alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("toks", F.col("start"), window))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "unigram_surprisal",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    cf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           round(avg(-ln(CAST(tf AS DOUBLE) / n)), 6) AS surprisal
+    FROM tok JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="corpus-unigram surprisal (perplexity proxy for quality "
+    "filtering): mean -ln p(term) per document under the corpus "
+    "unigram model — the model is a (term, tf) relation joined back "
+    "term-keyed (broadcast when vocab fits, AQE skew-join for "
+    "stopword skew); total token count is a 1-row broadcast",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    cf = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = tok.agg(F.count("*").alias("n"))
+    return (
+        tok.join(cf, "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("n"))), 6
+            ).alias("surprisal")
+        )
+    )

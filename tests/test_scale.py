@@ -221,3 +221,17 @@ def test_q13_aggregates_orders_before_customer_join(spark):
         join_pos = plan.find("BroadcastHashJoin")
     assert join_pos != -1
     assert "HashAggregate" in plan
+
+
+def test_q6_filters_push_down_and_columns_prune(spark):
+    """SURVEY §4 X9: the q6-shape predicate (shipdate range, discount
+    band, quantity cap) must reach the parquet scan as PushedFilters,
+    and the scan must read only the four referenced columns."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual" in plan or "LessThan" in plan
+    # column pruning: untouched wide columns must not be in ReadSchema
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert read_schemas and all("l_returnflag" not in s for s in read_schemas)
