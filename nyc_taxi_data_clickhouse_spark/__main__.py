@@ -39,6 +39,18 @@ def main(argv: list[str] | None = None) -> int:
     p_export.add_argument("--gold", required=True)
     p_export.add_argument("--out", required=True)
 
+    p_suite = sub.add_parser(
+        "suite",
+        help="run (or explain) any suite-registry entry on a testdata dir",
+    )
+    p_suite.add_argument("--entry", help="entry name (omit with --list)")
+    p_suite.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_suite.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+    p_suite.add_argument("--list", action="store_true", help="list entries")
+
     args = parser.parse_args(argv)
 
     from nyc_taxi_data_clickhouse_spark.session import get_spark
@@ -79,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("query needs --id or --sql")
         result.show(50, truncate=False)
         print(f"elapsed {time.perf_counter()-t0:.2f}s")
+
+    elif args.cmd == "suite":
+        from nyc_taxi_data_clickhouse_spark import suite as S
+
+        reg = S.registry()
+        if args.list:
+            for name, spec in sorted(reg.items()):
+                gate = "oracle" if spec.oracle else "rows-only"
+                print(f"{name}  [{gate}]  {spec.doc.splitlines()[0] if spec.doc else ''}")
+            return 0
+        if not args.entry or args.entry not in reg:
+            parser.error(f"--entry must be one of {len(reg)} registry names (see --list)")
+        df = reg[args.entry].spark(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(50, truncate=False)
+            print(f"elapsed {time.perf_counter()-t0:.2f}s")
 
     elif args.cmd == "export":
         from nyc_taxi_data_clickhouse_spark.sources.csv import write_csv_shards

@@ -78,3 +78,56 @@ def test_in_list_flag_is_binary_and_null_free(spark, values):
     got = [r[0] for r in df.select(in_list_flag("f", ("Y", "1", "2"))).collect()]
     assert all(g in (0, 1) for g in got)
     assert got == [1 if (v in ("Y", "1", "2")) else 0 for v in values]
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert algebraic properties
+# ---------------------------------------------------------------------------
+
+upsert_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 20), st.text(max_size=4)),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, version)
+)
+
+
+def _apply_model(snapshot: dict, batch):
+    for k, ver, v in batch:
+        if k not in snapshot or ver >= snapshot[k][0]:
+            snapshot[k] = (ver, v)
+    return snapshot
+
+
+@settings(max_examples=15, deadline=None)
+@given(upsert_rows, upsert_rows, upsert_rows)
+def test_merge_upsert_sequential_equals_model(spark, cur, u1, u2):
+    """Applying update batches sequentially must equal the
+    latest-wins reference model, and re-applying the last batch must
+    be a no-op (idempotence) — the property foreachBatch reprocessing
+    relies on."""
+    from nyc_taxi_data_clickhouse_spark.plans.upsert import merge_upsert
+
+    # make (key, version) unique ACROSS batches too (ambiguous ties
+    # between u1 and u2 are out of contract)
+    seen: set = set()
+    cur, u1, u2 = (
+        [r for r in batch if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+        for batch in (cur, u1, u2)
+    )
+    schema = "k long, ver long, v string"
+    df = spark.createDataFrame(cur, schema) if cur else spark.createDataFrame([], schema)
+    for batch in (u1, u2, u2):  # u2 twice: idempotence
+        bdf = (
+            spark.createDataFrame(batch, schema)
+            if batch
+            else spark.createDataFrame([], schema)
+        )
+        df = merge_upsert(df, bdf, ["k"], "ver")
+
+    model: dict = {}
+    for batch in (cur, u1, u2):
+        _apply_model(model, batch)
+    want = {(k, ver, v) for k, (ver, v) in model.items()}
+    got = {(r["k"], r["ver"], r["v"]) for r in df.collect()}
+    assert got == want
