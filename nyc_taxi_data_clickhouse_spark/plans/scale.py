@@ -141,3 +141,35 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+def compact_parquet(
+    spark, src: str, dst: str, target_file_mb: int = 128, sort_cols: list | None = None
+) -> tuple[int, int]:
+    """Rewrite a parquet directory of many small files into few
+    ~target-sized files (the small-files problem is the dominant
+    operational failure of large parquet lakes: per-file open cost and
+    task-scheduling overhead grow linearly with file count).
+
+    Sizes output by measuring the source bytes, not guessing row
+    counts; optional ``sort_cols`` re-establishes clustering (and thus
+    row-group min/max pruning) in the same pass.  Returns
+    (files_before, files_after).
+    """
+    import glob
+    import os
+
+    files = [f for f in glob.glob(f"{src}/*.parquet")]
+    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_out = max(1, round(total_mb / target_file_mb))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(dst)
+    return len(files), len(glob.glob(f"{dst}/*.parquet"))

@@ -147,3 +147,35 @@ def orc_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
+
+
+@register(
+    "incremental_avg_merge",
+    """
+    SELECT o_orderstatus AS status,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_price,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="materialized-view maintenance pattern: per-month PARTIAL "
+    "aggregation state (exact cents sum + count — mergeable, unlike "
+    "avg itself) re-merged into the final per-status average; at "
+    "100 TB only changed months recompute their partials and the "
+    "merge touches |months x statuses| rows.  The oracle is the "
+    "direct one-pass aggregate — partial+merge must be exactly "
+    "equivalent, which the fixed-point sum guarantees",
+)
+def incremental_avg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    partials = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.sum(cents).alias("sum_cents"), F.count("*").alias("n"))
+    return partials.groupBy("status").agg(
+        F.round(
+            (F.sum("sum_cents") / 100.0) / F.sum("n"), 6
+        ).alias("avg_price"),
+        F.sum("n").alias("cnt"),
+    )

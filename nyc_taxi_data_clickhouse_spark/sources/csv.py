@@ -72,3 +72,36 @@ def write_csv_shards(
         .option("dateFormat", "yyyy-MM-dd")
         .csv(path)
     )
+
+
+def read_csv_with_audit(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S1 hardened: PERMISSIVE read that CAPTURES malformed rows in
+    ``corrupt_col`` instead of silently nulling them, so ingest can
+    split the stream into (clean rows, quarantine rows) in one pass —
+    the audit trail a 100 TB load needs when one shard in ten
+    thousand is truncated.
+
+    Usage::
+
+        df = read_csv_with_audit(spark, path, SCHEMA)
+        clean = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
+        quarantine = df.filter(df[corrupt_col].isNotNull())
+    """
+    audited = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(audited)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "\\N")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("dateFormat", "yyyy-MM-dd")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )

@@ -116,3 +116,27 @@ def test_catalog_row_counts(spark, trips_staging):
     report = table_row_counts(spark)
     rows = {r["table_name"]: r["row_count"] for r in report.collect()}
     assert rows.get("rc_probe") == trips_staging.count()
+
+
+def test_corrupt_csv_rows_are_quarantined(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed rows land in
+    the audit column with the raw line preserved; clean rows parse."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_clickhouse_spark.sources.csv import read_csv_with_audit
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,alpha,2.5\n2,beta,not_a_number\n3,gamma,7.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_csv_with_audit(spark, str(p), schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.first()["_corrupt_record"]

@@ -235,3 +235,17 @@ def test_q6_filters_push_down_and_columns_prune(spark):
 
     read_schemas = re.findall(r"ReadSchema: (.*)", plan)
     assert read_schemas and all("l_returnflag" not in s for s in read_schemas)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from nyc_taxi_data_clickhouse_spark.plans.scale import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 50_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    before, after = compact_parquet(spark, src, dst, target_file_mb=128,
+                                    sort_cols=["id"])
+    assert before == 64 and after < 8
+    out = spark.read.parquet(dst)
+    assert out.count() == 50_000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
