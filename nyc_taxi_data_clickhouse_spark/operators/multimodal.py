@@ -184,3 +184,103 @@ def sample_frames(
             256,
         ).alias("frame_digest"),
     )
+
+
+#: schema emitted by resize_images
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """Aspect-preserving image resize plumbing.
+
+    The OUTPUT GEOMETRY is real and computed JVM-side from metadata
+    (scale = max_side / longest side, never upscale); only the pixel
+    resample is the stubbed codec step (``fake=True`` emits a
+    deterministic digest payload of plausible size).  At 100 TB this
+    is a map-only narrow transform; payload bytes stay inside their
+    partition end to end.
+    """
+    w = F.col(f"{media_col}.width")
+    h = F.col(f"{media_col}.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    out_w = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
+    out_h = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
+    geom = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.bytes").alias("__bytes"),
+        F.col(f"{media_col}.mime").alias("__mime"),
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if fake:
+                resized = [
+                    None
+                    if b is None or ow is None
+                    else _hashlib.sha256(
+                        bytes(b) + f"{ow}x{oh}".encode()
+                    ).digest()
+                    for b, ow, oh in zip(
+                        pdf["__bytes"], pdf["out_width"], pdf["out_height"]
+                    )
+                ]
+            else:
+                raise NotImplementedError(
+                    "no image codec in this container; replace resample "
+                    "or run with fake=True"
+                )
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": pdf["out_width"],
+                    "out_height": pdf["out_height"],
+                    "resized": resized,
+                }
+            )
+
+    return geom.mapInPandas(resample, schema=RESIZE_SCHEMA)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_hz: int = 16_000,
+    source_hz: int = 44_100,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Audio resample plumbing: output sample count is exact metadata
+    arithmetic (duration_ms * target_hz / 1000), JVM-side; the PCM
+    interpolation itself is the stubbed codec step, represented by a
+    deterministic digest so downstream schema/partitioning is real."""
+    dur = F.coalesce(F.col(f"{media_col}.duration_ms"), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.lit(target_hz).alias("target_hz"),
+        (dur * target_hz / 1000).cast("long").alias("n_samples"),
+        F.sha2(
+            F.concat(
+                F.col(f"{media_col}.bytes"),
+                F.lit(f"@{source_hz}->{target_hz}").cast("binary"),
+            ),
+            256,
+        ).alias("pcm_digest"),
+    )

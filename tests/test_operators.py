@@ -283,3 +283,58 @@ def test_connected_components_chain_converges(spark):
     rows = dedup.connected_components(pairs).collect()
     assert {r["component"] for r in rows} == {0}
     assert len(rows) == 13
+
+
+def test_resize_images_geometry_and_determinism(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (1, bytearray(b"imgpayload-a"), 1024, 768),
+        (2, bytearray(b"imgpayload-b"), 100, 50),   # already small: no upscale
+        (3, bytearray(b"imgpayload-c"), 512, 2048),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, b binary, w int, h int"
+    ).select(
+        "media_id",
+        F.struct(
+            F.col("b").alias("bytes"),
+            F.lit("image/jpeg").alias("mime"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+    out = resize_images(df, max_side=256)
+    assert out.schema == RESIZE_SCHEMA
+    got = {r["media_id"]: (r["out_width"], r["out_height"]) for r in out.collect()}
+    assert got[1] == (256, 192)       # 1024x768 -> scale 0.25
+    assert got[2] == (100, 50)        # no upscale
+    assert got[3] == (64, 256)        # portrait: height is the long side
+    # determinism: same payload+geometry -> same digest
+    again = {r["media_id"]: bytes(r["resized"]) for r in resize_images(df).collect()}
+    first = {r["media_id"]: bytes(r["resized"]) for r in out.collect()}
+    assert again == first
+
+
+def test_resample_audio_sample_count(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import resample_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"pcm"), 2500)], "media_id long, b binary, dur long"
+    ).select(
+        "media_id",
+        F.struct(
+            F.col("b").alias("bytes"),
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("dur").alias("duration_ms"),
+        ).alias("media"),
+    )
+    r = resample_audio(df, target_hz=16_000).first()
+    assert r["n_samples"] == 40_000  # 2.5s * 16kHz
+    assert r["pcm_digest"] is not None
