@@ -112,3 +112,15 @@ def test_z7_strict_enum_raises(spark, trips_staging):
     # permissive mode: unmapped -> NULL, job survives
     permissive = curate_trips(dirty, strict_enums=False)
     assert permissive.filter(F.col("vendor_id").isNull()).count() == dirty.count()
+
+
+def test_round_half_away_from_zero_including_negatives(spark):
+    """SURVEY §2.8 F3: ClickHouse round() is half-away-from-zero;
+    Spark round() is HALF_UP on the decimal value, which matches for
+    both signs — verified here so Q4's round(trip_distance) grouping
+    keys agree with the reference."""
+    df = spark.createDataFrame(
+        [(2.5,), (-2.5,), (0.5,), (-0.5,), (1.49,), (-1.49,)], "x double"
+    )
+    got = [r[0] for r in df.select(F.round("x", 0).alias("r")).collect()]
+    assert got == [3.0, -3.0, 1.0, -1.0, 1.0, -1.0]
