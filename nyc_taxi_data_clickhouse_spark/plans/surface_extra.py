@@ -179,3 +179,39 @@ def incremental_avg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
         F.sum("n").alias("cnt"),
     )
+
+
+@register(
+    "intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="bag-semantics INTERSECT ALL (multiplicity = min of the two "
+    "sides) — planned as an aggregate of per-side counts, one shuffle "
+    "per side, no row-by-row matching",
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="bag-semantics EXCEPT ALL (multiplicity = left minus right, "
+    "floored at 0) — completes the set-operation family next to the "
+    "DISTINCT variants in plans/sql_surface.py",
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)

@@ -249,3 +249,53 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 50_000
     assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """Scale hazard #1 (SURVEY §7): one hot key in a shuffle join.
+    With AQE skew-join on, the runtime plan must split the oversized
+    partition — asserted via the final adaptive plan's skew markers
+    (SortMergeJoin(skew=true) / AQEShuffleRead skewed).  This is the
+    no-salting-needed path; plans/scale.salted_join covers the
+    explicit-salting alternative.  Note: the join must be executed
+    bare (no downstream distribution requirement) or AQE declines the
+    split to preserve the required partitioning."""
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    (
+        spark.range(0, 900_000)
+        .select(
+            F.when(F.col("id") < 800_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            # incompressible payload so shuffle-size stats see the skew
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .write.mode("overwrite")
+        .parquet(left_p)
+    )
+    spark.range(0, 1000).select(F.col("id").alias("k2")).write.mode(
+        "overwrite"
+    ).parquet(right_p)
+
+    conf = spark.conf
+    saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # thresholds scaled down so test-sized data triggers the split
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        joined = spark.read.parquet(left_p).join(
+            spark.read.parquet(right_p), F.col("k") == F.col("k2")
+        )
+        # JVM-side action on THIS DataFrame's QueryExecution, so the
+        # adaptive plan attached to it finalizes
+        n = joined._jdf.queryExecution().toRdd().count()
+        assert n == 900_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
