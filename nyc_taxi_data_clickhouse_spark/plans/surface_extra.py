@@ -215,3 +215,42 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "window_first_last_nth",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           coalesce(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1)
+             AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="navigation window functions: each customer's first / last / "
+    "second order — note last_value and nth_value need the explicit "
+    "UNBOUNDED FOLLOWING frame (the default frame stops at CURRENT "
+    "ROW, a classic cross-engine footgun both engines share); DISTINCT "
+    "collapses the per-row window output to one row per customer; "
+    "second_order uses a -1 sentinel for single-order customers "
+    "because a NULL-bearing int column widens to float in the "
+    "oracle's pandas bridge and would hash-mismatch",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.coalesce(
+            F.nth_value("o_orderkey", 2).over(full), F.lit(-1).cast("long")
+        ).alias("second_order"),
+    ).distinct()
