@@ -299,3 +299,62 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
         conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+
+
+def test_dynamic_partition_pruning_on_gold_layout(spark, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must plan a
+    dynamicpruning partition filter: at 100 TB only the partitions the
+    dim filter selects are scanned, decided at runtime (SURVEY §4 X2
+    generalized past static pruning)."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    fact_path = str(tmp_path / "orders_by_year")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    years = [r["o_year"] for r in fact.select("o_year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == min(years) else "drop") for y in years],
+        "d_year int, label string",
+    )
+    joined = fact.join(dim, fact.o_year == dim.d_year).filter(
+        F.col("label") == "keep"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = fact.filter(F.col("o_year") == min(years)).count()
+    assert joined.count() == expected
+
+
+def test_runtime_bloom_filter_prunes_join_probe(spark, tmp_path):
+    """With broadcast off, Spark's runtime row-level filtering should
+    inject a bloom filter built from the selective side into the large
+    side's scan — the shuffle then carries only probable-match rows, a
+    major shuffle-volume saver at 100 TB."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # test data is KBs; drop the 10GB "only bother on big scans" floor
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
