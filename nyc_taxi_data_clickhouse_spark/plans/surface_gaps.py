@@ -217,3 +217,67 @@ def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "token"),
     )
+
+
+@register(
+    "ratio_to_report",
+    """
+    WITH agg AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS priority,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, priority, cnt,
+           round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY yr), 6)
+             AS share
+    FROM agg
+    """,
+    doc="ratio-to-report / percent-of-total window: each priority's "
+    "share of its year's orders — aggregate FIRST (5 priorities x "
+    "years of groups), window over the tiny aggregate, never over raw "
+    "rows; the unbounded sum partitioned by year is one pass over a "
+    "result that fits in a single partition regardless of input scale",
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("yr")
+    return agg.select(
+        "yr",
+        "priority",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "regression_agg",
+    """
+    SELECT l_returnflag AS flag,
+           round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="linear-regression aggregates (price ~ quantity per return "
+    "flag): regr_slope / regr_intercept / regr_r2 / regr_count — "
+    "single-pass mergeable moment sketches (sum, sum-of-squares, "
+    "co-moment), so one partial->final hash aggregation like any "
+    "count; no second pass, no collect.  Rounded to absorb "
+    "parallel-summation ordering noise in the co-moments (Z6 policy)",
+)
+def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 3).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 3).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

@@ -79,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
     from nyc_taxi_data_clickhouse_spark.operators import analysis  # noqa: F401
     from nyc_taxi_data_clickhouse_spark.plans import surface_extra  # noqa: F401
     from nyc_taxi_data_clickhouse_spark.plans import surface_gaps  # noqa: F401
+    from nyc_taxi_data_clickhouse_spark.functions import vectorized  # noqa: F401
 
     return dict(_REGISTRY)
 
