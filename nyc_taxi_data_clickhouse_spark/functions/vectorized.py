@@ -66,3 +66,47 @@ def pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(vowel_ratio_udf()("text"), 6).alias("vowel_share")
     )
+
+
+@register(
+    "apply_in_pandas_zscore",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+           round((l_extendedprice - avg(l_extendedprice)
+                    OVER (PARTITION BY l_returnflag))
+                 / stddev_samp(l_extendedprice)
+                    OVER (PARTITION BY l_returnflag), 4) AS z
+    FROM lineitem
+    """,
+    doc="grouped-map applyInPandas (SURVEY §2.10): per-return-flag "
+    "z-score of extended price computed in a pandas function that "
+    "receives each group as ONE DataFrame, oracle-checked against the "
+    "window-function equivalent.  The grouped-map contract is the "
+    "scale caveat the doc must state: the whole group materializes in "
+    "one Python worker's memory, so it only fits when groups are "
+    "bounded (here 3 flags — fine at sf0.1, NOT at 100 TB with "
+    "billions per flag); for unbounded groups express the same "
+    "semantics with window aggregates (the oracle's form) or "
+    "mapInPandas over pre-joined group stats.  ddof=1 std matches "
+    "stddev_samp on both engines",
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "flag": pdf["l_returnflag"],
+                "z": z.round(4),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, schema="l_orderkey long, l_linenumber int, flag string, z double"
+    )
