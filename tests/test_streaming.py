@@ -161,3 +161,49 @@ def test_incremental_upsert_processes_multiple_batches(spark, tmp_path):
     )
     got = spark.read.parquet(snap).select("user_id", "event_id")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental restart: a second run of the same
+    query over the same checkpoint must pick up ONLY files added after
+    the first run (no reprocessing, no loss) and converge to the batch
+    latest-per-key answer over everything seen."""
+    import datetime as dt
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, 0, 0, s)) for u, e, s in rows],
+            "user_id string, event_id string, ts timestamp",
+        )
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    phase_a = mk([("u1", "a1", 1), ("u2", "a2", 2), ("u3", "a3", 3)])
+    phase_a.repartition(2).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(phase_a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("__ver", F.struct("ts", "event_id"))
+        )
+        return ev.incremental_upsert_stream(stream, snap, ["user_id"], "__ver")
+
+    n1 = run()
+    assert n1 == 2, "first run: one micro-batch per initial file"
+
+    # u2 gets a newer version, u4 is brand new; two more files
+    phase_b = mk([("u2", "b2", 9), ("u4", "b4", 8)])
+    phase_b.repartition(2).write.mode("append").parquet(src)
+
+    n2 = run()
+    assert n2 == 2, (
+        "restart must process exactly the two appended files — more "
+        "means the checkpoint was ignored and old files reprocessed"
+    )
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+    }
+    assert got == {("u1", "a1"), ("u2", "b2"), ("u3", "a3"), ("u4", "b4")}
