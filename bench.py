@@ -55,6 +55,10 @@ DEFAULT_QUERIES = [
     "tpch_q21_waiting_supplier",
     "window_range_frame",
     "text_tfidf_topk",
+    "full_outer_join",
+    "scd2_dimension",
+    "regression_agg",
+    "pandas_udf_vectorized",
 ]
 
 

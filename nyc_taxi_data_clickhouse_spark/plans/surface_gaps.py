@@ -281,3 +281,35 @@ def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH fact AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+    dim AS (SELECT DISTINCT seg FROM fact)
+    SELECT d.seg, count(*) AS cnt
+    FROM fact f JOIN dim d ON f.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg
+    """,
+    doc="null-safe equality join (Spark `<=>` / eqNullSafe ≡ SQL IS NOT "
+    "DISTINCT FROM): the NULL-keyed rows (BUILDING mapped to NULL via "
+    "nullif) MATCH the dim's NULL row instead of silently dropping — "
+    "the semantic corner plain equi-joins get wrong and the reason "
+    "merge/upsert keys must be null-safe.  Planner note: <=> is still "
+    "an equi-join key for Spark (hash/sort-merge capable, broadcast "
+    "here), not a degenerate theta join",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    fact = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    dim = fact.select("seg").distinct().withColumnRenamed("seg", "d_seg")
+    return (
+        fact.join(dim, fact.seg.eqNullSafe(dim.d_seg))
+        .groupBy(F.col("d_seg").alias("seg"))
+        .agg(F.count("*").alias("cnt"))
+    )
