@@ -313,3 +313,36 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d_seg").alias("seg"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "json_typed_parse",
+    """
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+             AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="typed JSON parse (from_json with an explicit schema — the "
+    "structured counterpart to events_json_extract's per-path "
+    "get_json_object): props parsed once into struct<k:int>, then "
+    "aggregated.  One parse per row regardless of how many fields are "
+    "consumed — per-path extraction re-parses the document per path, "
+    "which at 100 TB is the difference between one and k JSON passes "
+    "over every payload byte; malformed documents yield NULL struct "
+    "fields (PERMISSIVE), not job failure",
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    e = load_events(spark, sf_dir)
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("p.k"), 4).alias("avg_k"),
+        F.max("p.k").alias("max_k"),
+    )
