@@ -113,3 +113,35 @@ def curate_trips(staging: DataFrame, strict_enums: bool = False) -> DataFrame:
     and with whatever follows (partitioned write, aggregation).
     """
     return staging.select(*curation_expressions(strict_enums=strict_enums))
+
+
+def curate_trips_observed(staging: DataFrame, strict_enums: bool = False):
+    """Curation with in-flight reconciliation metrics attached.
+
+    The reference's correctness practice is stage-boundary row-count
+    reconciliation — live counts during import and a post-attach
+    count(*) (README.md:240, 271-278, 902; SURVEY §5.1).  Those are
+    extra queries over the data; Spark's ``observe`` collects the same
+    audit numbers on the SAME pass as the curation action: zero
+    additional scans, metrics available once any sink action (write,
+    count) completes.
+
+    Returns ``(curated_df, observation)``; after running an action on
+    the returned DataFrame, ``observation.get`` yields rows_in and
+    the pre-scrub null counts to reconcile against the sink's own
+    row count.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_audit")
+    observed = staging.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("passenger_count").isNull().cast("long")).alias(
+            "null_passenger_count_in"
+        ),
+        F.sum(F.col("dropoff_datetime").isNull().cast("long")).alias(
+            "null_dropoff_datetime_in"
+        ),
+    )
+    return curate_trips(observed, strict_enums=strict_enums), obs

@@ -131,3 +131,66 @@ def test_merge_upsert_sequential_equals_model(spark, cur, u1, u2):
     want = {(k, ver, v) for k, (ver, v) in model.items()}
     got = {(r["k"], r["ver"], r["v"]) for r in df.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build invariants (plans/surface_gaps.scd2_dimension semantics)
+# ---------------------------------------------------------------------------
+
+_scd_hist = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # custkey
+        st.integers(min_value=0, max_value=400),        # day offset
+        st.sampled_from(["LOW", "MED", "HIGH"]),        # priority
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_scd_hist)
+def test_scd2_intervals_partition_each_customers_timeline(spark, rows):
+    """For every customer: intervals are non-overlapping, contiguous
+    (each valid_to equals the next valid_from), start at the first
+    order date, exactly one open-ended current row, and consecutive
+    intervals always change priority."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_clickhouse_spark.plans.surface_gaps import scd2_dimension
+
+    base = dt.datetime(2020, 1, 1)
+    data = [
+        (ck, i + 1, base + dt.timedelta(days=off), pr)
+        for i, (ck, off, pr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "o_custkey long, o_orderkey long, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = scd2_dimension(spark, d).collect()
+
+    sentinel = dt.date(9999, 12, 31)
+    by_cust: dict[int, list] = {}
+    for r in out:
+        by_cust.setdefault(r["custkey"], []).append(r)
+    firsts = {
+        ck: min(x[2] for x in data if x[0] == ck).date() for ck, _, _, _ in data
+    }
+    for ck, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert ivs[0]["valid_from"] == firsts[ck]
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] == sentinel
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], "contiguous, no gaps"
+            assert a["priority"] != b["priority"] or a["valid_to"] == a[
+                "valid_from"
+            ], "a new interval means the priority changed (or a same-day flip)"

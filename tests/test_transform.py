@@ -124,3 +124,23 @@ def test_round_half_away_from_zero_including_negatives(spark):
     )
     got = [r[0] for r in df.select(F.round("x", 0).alias("r")).collect()]
     assert got == [3.0, -3.0, 1.0, -1.0, 1.0, -1.0]
+
+
+def test_observed_curation_reports_reconciliation_metrics(trips_staging):
+    """SURVEY §5.1 upgraded: observe() delivers stage-boundary audit
+    counts on the same pass as the curation action — rows_in must
+    reconcile with rows_out, and the null scrub counts must match
+    independently computed aggregates."""
+    from nyc_taxi_data_clickhouse_spark.plans.transform import (
+        curate_trips_observed,
+    )
+
+    curated, obs = curate_trips_observed(trips_staging)
+    rows_out = curated.count()  # the action that flushes the metrics
+    m = obs.get
+    assert m["rows_in"] == rows_out, "curation is a pure projection"
+    want_null_pc = trips_staging.filter(F.col("passenger_count").isNull()).count()
+    want_null_dd = trips_staging.filter(F.col("dropoff_datetime").isNull()).count()
+    assert m["null_passenger_count_in"] == want_null_pc
+    assert m["null_dropoff_datetime_in"] == want_null_dd
+    assert want_null_pc > 0, "fixture must exercise the null path"
