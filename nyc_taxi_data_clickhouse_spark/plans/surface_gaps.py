@@ -346,3 +346,31 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("p.k"), 4).alias("avg_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+@register(
+    "hll_sketch_merge",
+    None,  # sketch estimates are engine-specific; accuracy gated in pytest
+    doc="mergeable distinct-count sketches (Apache DataSketches HLL, "
+    "SURVEY §2.4 extension past approx_count_distinct): per-(year, "
+    "month) partial sketches of the customer set built in one pass, "
+    "then rolled up to yearly distinct-customer estimates with "
+    "hll_union_agg — the incremental pattern for 100 TB: persist the "
+    "monthly sketch table (bytes per group, not customers per group) "
+    "and every later rollup/backfill merges sketches instead of "
+    "rescanning raw data.  Estimate accuracy (<2% at lgConfigK=14) "
+    "and merge-vs-direct consistency are pytest-gated; the driver "
+    "gate is rows-only because sketch estimates are engine-specific",
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    return (
+        monthly.groupBy("yr")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+        )
+        .orderBy("yr")
+    )

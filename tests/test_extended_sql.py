@@ -86,3 +86,37 @@ def test_merge_upsert_update_wins_version_tie(spark):
         (r["k"], r["v"]) for r in merge_upsert(cur, upd, ["k"], "ver").collect()
     }
     assert got == {(1, "new-tied"), (2, "keep"), (3, "insert")}
+
+
+def test_hll_sketch_merge_accuracy_and_consistency(spark):
+    """Monthly-sketch rollup must (a) estimate yearly distinct
+    customers within HLL error bounds and (b) equal the estimate of a
+    sketch built directly at yearly grain — merge associativity, the
+    property the persisted-sketch-table pattern depends on."""
+    from nyc_taxi_data_clickhouse_spark.plans.surface_gaps import hll_sketch_merge
+    from tests.conftest import SF_CORRECTNESS
+
+    merged = {r["yr"]: r["approx_customers"] for r in
+              hll_sketch_merge(spark, SF_CORRECTNESS).collect()}
+
+    o = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet")
+    exact = {
+        r["yr"]: r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["yr"]: r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(14))
+            ).alias("n")
+        )
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for yr, est in merged.items():
+        assert abs(est - exact[yr]) / exact[yr] < 0.02, (yr, est, exact[yr])
+        assert est == direct[yr], "union of partials must equal direct sketch"
