@@ -374,3 +374,71 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "locf_forward_fill",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice END AS px
+      FROM orders)
+    SELECT o_orderkey, o_custkey,
+           round(last_value(px IGNORE NULLS) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 2) AS px_filled
+    FROM t
+    """,
+    doc="LOCF forward-fill (last-observation-carried-forward): nulls "
+    "in a per-customer price series (every third order masked "
+    "deterministically) filled from the most recent non-null via "
+    "last(..., ignorenulls=True) ≡ SQL last_value(... IGNORE NULLS) "
+    "— the time-series repair primitive sensor/market pipelines need; "
+    "leading nulls stay NULL (nothing to carry).  One shuffle on the "
+    "partition key; unique (date, orderkey) ordering makes the "
+    "default running frame row-deterministic on both engines",
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    masked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("px"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return masked.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.last("px", ignorenulls=True).over(w), 2).alias("px_filled"),
+    )
+
+
+@register(
+    "decimal_exact_money",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact fixed-point money arithmetic (SURVEY Z6's opt-in "
+    "DecimalType path): totals per priority in DECIMAL(18,2) — "
+    "decimal sums are exact integers under the hood, so the result "
+    "is bit-identical regardless of partial-aggregation order, no "
+    "rounding policy needed — the final cast to double is presentation only, applied AFTER the exact sum (contrast q2_avg_by_key's "
+    "round-the-double approach); the cast double→decimal itself is "
+    "deterministic half-up on both engines",
+)
+def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(d).cast("double").alias("total"),
+        F.min(d).cast("double").alias("lo"),
+        F.max(d).cast("double").alias("hi"),
+    )
