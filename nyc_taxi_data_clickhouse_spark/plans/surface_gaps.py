@@ -442,3 +442,32 @@ def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(d).cast("double").alias("lo"),
         F.max(d).cast("double").alias("hi"),
     )
+
+
+_Q1_ANSI = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_entry_point_parity",
+    _Q1_ANSI,
+    doc="SQL entry-point parity (SURVEY §3 E1): the SAME ANSI text the "
+    "DuckDB oracle runs is executed verbatim through spark.sql over "
+    "temp views — no DataFrame translation layer — proving the "
+    "engine's SQL surface accepts the reference's query style "
+    "directly (the reference's only repo-level IR is the SQL string, "
+    "src/benchmark_clickhouse.sh:3-14).  Catalyst plans it identically "
+    "to the DataFrame form: partial→final hash agg over a pruned, "
+    "filter-pushed scan",
+)
+def sql_entry_point_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_ANSI)
