@@ -471,3 +471,35 @@ _Q1_ANSI = """
 def sql_entry_point_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q1_ANSI)
+
+
+@register(
+    "windowed_distinct_users",
+    """
+    SELECT DISTINCT d,
+           count(DISTINCT o_custkey) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                              AND CURRENT ROW) AS users_7d
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey
+          FROM orders)
+    """,
+    doc="windowed distinct count (trailing-7-day active customers per "
+    "day): Spark has no COUNT(DISTINCT) OVER, so the idiom is "
+    "size(collect_set(...)) over the RANGE frame — run on day-grain "
+    "DISTINCT (day, customer) pairs, never raw rows, so the "
+    "unpartitioned global window sees bounded input (days x active "
+    "customers/day, not order volume).  At 100 TB with huge daily "
+    "actives, swap the exact set for the mergeable-sketch path "
+    "(hll_sketch_merge): daily HLL sketches unioned over the trailing "
+    "window — same shape, constant state per day",
+)
+def windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_custkey"
+    ).distinct()
+    day = F.datediff("d", F.lit("1970-01-01").cast("date"))
+    w = W.orderBy(day).rangeBetween(-6, 0)
+    return pairs.select(
+        "d", F.size(F.collect_set("o_custkey").over(w)).cast("long").alias("users_7d")
+    ).distinct()
