@@ -67,11 +67,23 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def quiesce(spark) -> None:
+    """Benchmark hygiene between timed runs (SURVEY §4 X10 / §2.11 H3):
+    drop cached data, then force a JVM GC so that the garbage of the
+    PREVIOUS queries (shuffle buffers, broadcast blocks, checkpoint
+    RDDs) is collected outside the timed region.  Without this, a
+    multi-minute suite accumulates heap until a major GC lands inside
+    whichever query runs late — observed as 3 s -> 16-35 s outliers
+    with ±15 s std on an otherwise idle machine."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
     spec = suite.registry()[name]
     times = []
     for i in range(warmups + repeats):
-        spark.catalog.clearCache()
+        quiesce(spark)
         t0 = time.perf_counter()
         force(spec.spark(spark, sf_dir))
         elapsed = time.perf_counter() - t0
