@@ -317,3 +317,86 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(d), " ").alias("sorted_tokens"),
         F.size(F.array_intersect(d, stop)).alias("n_stopwords"),
     )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+    doc="deterministic train/val/test split (80/10/10): Knuth "
+    "multiplicative hash of the doc id into 100 buckets, thresholded "
+    "— reproducible across runs, engines, and reshuffles (unlike "
+    "randomSplit, whose assignment depends on partitioning), and "
+    "stable under corpus growth: adding documents never moves an "
+    "existing one between splits, the property leakage audits depend "
+    "on.  Pure map-side arithmetic; the groupBy here only summarizes "
+    "the assignment for the gate",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "token_budget_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             coalesce(sum(toks) OVER (
+               ORDER BY doc_id, toks ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prior
+      FROM t)
+    SELECT CAST(floor(prior / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_toks
+    FROM c GROUP BY 1
+    """,
+    doc="token-budget sequence packing (training-batch construction): "
+    "docs in deterministic id order, running token count, bin = "
+    "floor(prior_cumsum / budget) — the streaming-friendly "
+    "approximation of first-fit packing (a bin may overshoot by at "
+    "most one document; exact bin-packing is NP-hard and "
+    "order-dependent; CAST of a fractional value rounds in some "
+    "engines, so the bin index floors explicitly).  The running sum "
+    "is one global-ordered window "
+    "— at 100 TB, partition the corpus first (by shard/lang) and pack "
+    "within partitions so no global sort exists; whitespace token "
+    "proxy keeps the oracle engine-portable",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    # (doc_id, toks) ordering: the corpus carries one duplicated id,
+    # and an ambiguous tie order would shift every later prior-sum
+    w = W.orderBy("doc_id", "toks").rowsBetween(W.unboundedPreceding, -1)
+    c = docs.select(
+        F.col("doc_id"), toks.alias("toks")
+    ).withColumn("prior", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    return (
+        c.select(F.floor(F.col("prior") / 2048).cast("long").alias("bin"), "toks")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("total_toks"))
+    )
