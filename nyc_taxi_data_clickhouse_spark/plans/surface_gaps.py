@@ -503,3 +503,82 @@ def windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "d", F.size(F.collect_set("o_custkey").over(w)).cast("long").alias("users_7d")
     ).distinct()
+
+
+@register(
+    "cross_join_grid",
+    """
+    WITH grid AS (
+      SELECT r_name, r_regionkey, p.pr FROM region
+      CROSS JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders) p),
+    cnt AS (
+      SELECT n.n_regionkey, o.o_orderpriority AS pr, count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2)
+    SELECT g.r_name, g.pr,
+           CAST(coalesce(sum(cnt.n_orders), 0) AS BIGINT) AS n_orders
+    FROM grid g
+    LEFT JOIN cnt ON cnt.n_regionkey = g.r_regionkey AND cnt.pr = g.pr
+    GROUP BY 1, 2
+    """,
+    doc="explicit cross join (dimension grid): region x priority full "
+    "reporting grid, zero-filled where no orders exist — the one "
+    "legitimate cross-product shape (tiny dim x tiny dim, a few dozen "
+    "rows) and the standard fix for 'missing groups drop out of "
+    "GROUP BY'.  Spark's crossJoin on two broadcast-small inputs "
+    "plans BroadcastNestedLoopJoin, never a shuffled cartesian; the "
+    "fact side is pre-aggregated before touching the grid",
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    grid = r.select("r_name", "r_regionkey").crossJoin(
+        o.select(F.col("o_orderpriority").alias("pr")).distinct()
+    )
+    cnt = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy("n_regionkey", F.col("o_orderpriority").alias("pr"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        grid.join(
+            cnt,
+            (grid.r_regionkey == cnt.n_regionkey) & (grid.pr == cnt.pr),
+            "left",
+        )
+        .groupBy("r_name", grid.pr.alias("pr"))
+        .agg(F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "variance_semantics",
+    """
+    SELECT l_returnflag AS flag,
+           round(var_pop(l_quantity), 4) AS var_p,
+           round(var_samp(l_quantity), 4) AS var_s,
+           round(stddev_pop(l_quantity), 4) AS sd_p,
+           round(stddev_samp(l_quantity), 4) AS sd_s
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="population vs sample variance semantics, side by side: "
+    "var_pop/var_samp and stddev_pop/stddev_samp per group — the "
+    "n vs n-1 divisor is a classic silent cross-engine discrepancy "
+    "(pandas defaults to sample, numpy to population), so the engine "
+    "pins both explicitly.  Single-pass mergeable moments, one "
+    "partial->final hash aggregation",
+)
+def variance_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.var_pop(q), 4).alias("var_p"),
+        F.round(F.var_samp(q), 4).alias("var_s"),
+        F.round(F.stddev_pop(q), 4).alias("sd_p"),
+        F.round(F.stddev_samp(q), 4).alias("sd_s"),
+    )
