@@ -290,9 +290,12 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late-delivery predicate (no receipt/commit dates in testdata) "
     "becomes l_returnflag='R' — sole-offender semantics preserved: a "
     "multi-supplier 'F' order where ONLY this supplier returned.  The "
-    "correlated EXISTS / NOT EXISTS plan as one left-semi and one "
-    "left-anti hash join on l_orderkey with a supplier non-equi "
-    "residual",
+    "correlated EXISTS / NOT EXISTS pair is rewritten as two "
+    "collect_set window counts over one order-key partition: lineitem "
+    "scanned once and shuffled once, vs three scans plus non-equi "
+    "semi/anti residuals for the literal form — the single-scan shape "
+    "is what survives 100 TB (per-window state is bounded by "
+    "suppliers-per-order, ~7)",
 )
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -301,33 +304,40 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
 
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("l_suppkey").alias("sk2"),
+    # window rewrite of the EXISTS / NOT EXISTS pair: a candidate
+    # R-row waits iff its order has >1 distinct supplier (EXISTS
+    # another supplier) and exactly 1 distinct RETURNING supplier (the
+    # candidate itself — NOT EXISTS another returner).  Both distinct
+    # counts come from collect_set over the SAME order-key window, so
+    # lineitem is scanned once and shuffled once (the literal
+    # semi/anti form scans it three times with non-equi residuals);
+    # per-window state is bounded by suppliers-per-order (~7), not
+    # order size.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ok")
+    enriched = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
         "l_returnflag",
+    ).select(
+        "ok",
+        "sk",
+        "l_returnflag",
+        F.size(F.collect_set("sk").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("sk"))
+            ).over(w)
+        ).alias("n_ret"),
     )
-    # EXISTS: some other supplier on the same order
-    l1 = l1.join(
-        others.select("ok2", "sk2").dropDuplicates(),
-        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-        "left_semi",
-    )
-    # NOT EXISTS: no OTHER supplier on the order also returned
-    offenders = (
-        others.filter(F.col("l_returnflag") == "R")
-        .select("ok2", "sk2")
-        .dropDuplicates()
-    )
-    l1 = l1.join(
-        offenders,
-        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-        "left_anti",
+    waiting = enriched.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") > 1)
+        & (F.col("n_ret") == 1)
     )
     return (
-        l1.join(o, F.col("o_orderkey") == F.col("ok"))
+        waiting.join(o, F.col("o_orderkey") == F.col("ok"))
         .join(broadcast(s), F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

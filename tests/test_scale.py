@@ -195,11 +195,17 @@ def test_zorder_layout_prunes_on_second_dimension(spark, tmp_path):
     assert z_hits < x_hits, (z_hits, x_hits)
 
 
-def test_q21_plans_semi_and_anti_joins(spark):
-    """The EXISTS / NOT EXISTS pair must plan as hash semi+anti joins
-    on the order key, never a correlated per-row subquery."""
+def test_q21_single_scan_window_rewrite(spark):
+    """The EXISTS / NOT EXISTS pair is rewritten into two collect_set
+    window counts over one order-key partition: no semi/anti joins
+    with non-equi residuals, no correlated per-row subquery, and
+    lineitem is scanned ONCE (the literal form scans it three times —
+    at 100 TB that is the whole game)."""
     plan = _plan(spark, "tpch_q21_waiting_supplier")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "Window" in plan
+    tree = plan.split("\n\n")[0]  # operator tree; node details repeat names
+    assert tree.count("Scan parquet") == 3  # lineitem + orders + supplier
 
 
 def test_q19_or_predicate_stays_in_broadcast_join(spark):
