@@ -582,3 +582,32 @@ def variance_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop(q), 4).alias("sd_p"),
         F.round(F.stddev_samp(q), 4).alias("sd_s"),
     )
+
+
+@register(
+    "right_outer_join",
+    """
+    SELECT n_name,
+           CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_suppliers
+    FROM (SELECT s_nationkey, count(*) AS cnt
+          FROM supplier GROUP BY s_nationkey) s
+    RIGHT OUTER JOIN nation ON s.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="right outer equi-join: supplier counts RIGHT JOIN nation "
+    "keeps every nation, zero-filling those with no suppliers — "
+    "completes the outer-join family (left in the reference's export "
+    "join, full/null-safe in this batch).  Planner note: Spark "
+    "canonicalizes right outer to a left outer with sides swapped, "
+    "and a right outer can still broadcast its LEFT (stream) side — "
+    "here both are dim-sized and the fact side is pre-aggregated",
+)
+def right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cnt = s.groupBy("s_nationkey").agg(F.count("*").alias("cnt"))
+    return (
+        cnt.join(n, cnt.s_nationkey == n.n_nationkey, "right_outer")
+        .groupBy("n_name")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_suppliers"))
+    )
