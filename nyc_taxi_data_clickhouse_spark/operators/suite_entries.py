@@ -128,16 +128,44 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.subword_token_count("text"))
 
 
+def _recall_report(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """One-row (n_queries, recall_ok) report: recall@k of ``approx``
+    against the exact top-k, floored Spark-side so the driver's oracle
+    can pin the expected outcome (``TRUE``) without re-deriving the
+    approximate structure in SQL.  No collect — a single agg row."""
+    hits = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    joined = exact.select("query_id", "neighbor_id").join(
+        hits, ["query_id", "neighbor_id"], "left"
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(floor)
+        ).alias("recall_ok"),
+    )
+
+
+_RECALL_ORACLE = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id < 10"
+)
+
+
 @register(
     "ann_ivf_topk",
-    None,  # KMeans cells are engine-specific; recall floor in pytest
+    _RECALL_ORACLE,
     doc="§7 similarity: IVF (KMeans coarse quantizer, n_probe cells) "
-    "approximate top-5 (rows-only; recall vs brute force in pytest)",
+    "approximate top-5 — entry measures recall@5 against the Spark "
+    "brute-force exact top-5 and reports the floor check (>=0.4, "
+    "slack for KMeans partitioning variance); tighter 0.6 floor in pytest",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    return _recall_report(approx, exact, floor=0.4)
 
 
 # ===========================================================================
@@ -202,15 +230,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.9)
 
 
+_SIMHASH_OFFSET = 10_000_000
+
+
 @register(
     "dedup_simhash",
-    None,  # simhash depends on xxhash64 — not reproducible in DuckDB
+    f"""
+    SELECT doc_id AS id_a, doc_id + {_SIMHASH_OFFSET} AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents WHERE length(trim(text)) > 0
+    """,
     doc="§7 dedup: 64-bit SimHash, hamming<=3 pairs via pigeonhole chunk "
-    "joins (rows-only check)",
+    "joins, driver-checked on a planted corpus: every doc is duplicated "
+    "at id+OFFSET, the full pipeline (tokenize -> xxhash64 votes -> "
+    "sign bits -> chunk equi-joins -> exact hamming verify) runs over "
+    "the 2N union, and the output is the planted slice — the oracle is "
+    "the exact expected pair set.  Recall of the pigeonhole join is "
+    "exact by theorem; full brute-force equivalence on natural near-dups "
+    "stays in pytest (xxhash64 is not reproducible in DuckDB).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    copies = docs.withColumn("doc_id", F.col("doc_id") + F.lit(_SIMHASH_OFFSET))
+    pairs = dedup.simhash_pairs(docs.unionAll(copies), max_hamming=3)
+    return pairs.filter(
+        (F.col("id_a") < _SIMHASH_OFFSET)
+        & (F.col("id_b") == F.col("id_a") + _SIMHASH_OFFSET)
+    ).select("id_a", "id_b", "hamming")
 
 
 @register(
@@ -261,14 +311,37 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # approximate by construction — verified against brute force in tests
-    doc="§7 similarity: hyperplane-LSH bucketed approximate top-5 "
-    "(rows-only; recall vs brute force asserted in pytest)",
+    _RECALL_ORACLE,
+    doc="§7 similarity: hyperplane-LSH bucketed approximate top-5.  LSH "
+    "only promises recall for HIGH-similarity neighbors (P(plane agrees) "
+    "= 1 - theta/pi), and the testdata embeddings are near-orthogonal "
+    "random vectors, so the entry plants its own ground truth: each "
+    "query is a deterministic mixture 0.95*v_i + 0.05*v_j (cos vs v_i "
+    "~0.996), and the check is recall of the planted neighbor in the "
+    "approximate top-5.  Fully deterministic (hash-derived planes); "
+    "miss probability per query ~1e-6 at 8 planes x 8 tables.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=64, k=5)
+    base = emb.filter(F.col("vec_id") < 10).alias("base")
+    other = emb.select(
+        (F.col("vec_id") - 10).alias("__join_id"), F.col("embedding").alias("__ovec")
+    ).alias("other")
+    queries = base.join(other, F.col("base.vec_id") == F.col("other.__join_id")).select(
+        (F.col("base.vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(
+            "base.embedding", "other.__ovec",
+            lambda a, b: (a.cast("double") * 0.95 + b.cast("double") * 0.05).cast("float"),
+        ).alias("embedding"),
+    )
+    approx = similarity.lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=8, n_tables=8
+    )
+    planted = queries.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") - 1_000_000).alias("neighbor_id"),
+    )
+    return _recall_report(approx, planted, floor=0.8)
 
 
 # ===========================================================================

@@ -596,13 +596,25 @@ def percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    None,  # HLL sketch values are engine-specific; accuracy asserted in pytest
-    doc="§2.4 extension: approx_count_distinct (HyperLogLog++; rows-only "
-    "check, <5%-error assertion lives in pytest)",
+    "SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct "
+    "FROM lineitem",
+    doc="§2.4 extension: approx_count_distinct (HyperLogLog++) — the "
+    "sketch value is engine-specific, so the entry computes BOTH the "
+    "sketch and the exact distinct count in one agg and reports the "
+    "bounded-error check Spark-side; the oracle pins exact count + bound",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
 
 
 @register(
