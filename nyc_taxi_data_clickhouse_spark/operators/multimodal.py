@@ -1,15 +1,27 @@
-"""Multimodal column plumbing (SURVEY §7): image/audio/video as opaque
+"""Multimodal column handling (SURVEY §7): image/audio/video as opaque
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
 The Spark-side plumbing — schema, batching, partition sizing, UDF
-signatures — is real and tested.  The actual codec work (JPEG decode,
-audio resample, video frame extraction) is STUBBED: the container has
-no image/audio libraries, so ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic hash-derived feature vector with the exact shape a real
-decoder would emit.  Swapping in a real decoder changes ONE inner
-function; none of the distributed plumbing moves.
+signatures — is real and tested, and so is decoding for the formats a
+pure-stdlib parser can handle:
+
+- **PPM/PGM** (``P6``/``P5`` binary netpbm): header tokenizer with
+  comment handling, maxval <= 255.
+- **BMP**: ``BITMAPFILEHEADER`` + ``BITMAPINFOHEADER`` via ``struct``;
+  uncompressed 24-bpp, bottom-up or top-down rows, 4-byte row padding.
+- **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count).
+
+Formats that need external codec libraries (JPEG/PNG/MP4/...) are NOT
+decoded: ``decode_media`` raises ``NotImplementedError`` for them
+unless ``fake=True``, which substitutes a deterministic hash-derived
+feature vector with the exact shape a real decoder would emit.
+
+Worker-shipping note: every function handed to ``mapInPandas`` is
+built by :func:`_build_decoder` / nested factories so cloudpickle
+serializes it BY VALUE (code + closure cells), never by reference to
+this module — the consuming driver's Python workers are not guaranteed
+to have this package on their import path.
 """
 
 from __future__ import annotations
@@ -34,12 +46,23 @@ MEDIA_STRUCT = T.StructType(
     ]
 )
 
-#: schema appended by featurize_media
+#: schema appended by featurize_media — identity + decoded stats +
+#: feature vector.  Image stats and audio stats are disjoint column
+#: groups; the irrelevant group is NULL for each modality.
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("sha256", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -61,36 +84,190 @@ def pack_media(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: FEATURE_DIM floats in
-    [0,1) derived from the payload's sha256.  Same length/dtype/range a
-    tiny image-embedding head would emit."""
-    h = hashlib.sha256(payload).digest()
-    return [
-        int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65536.0
-        for i in range(FEATURE_DIM)
-    ]
+def _build_decoder(feature_dim: int = FEATURE_DIM):
+    """Return a self-contained ``decode(payload, mime, fake=False) ->
+    dict`` closure.  All imports and helpers live INSIDE this factory
+    so cloudpickle ships the returned function by value to Python
+    workers with zero dependency on this package being importable
+    there.
 
-
-def decode_media(payload: bytes, mime: str, fake: bool = False) -> list[float]:
-    """Decode one media payload to a feature vector.
-
-    STUB: real decoding needs codec libraries not present in this
-    container.  ``fake=True`` returns the deterministic hash feature.
+    The returned dict always has keys: ``kind width height channels
+    n_pixels pixel_sum sample_rate n_samples abs_sum feature`` plus
+    ``pixels`` (flat per-channel byte list, images) / ``samples``
+    (int list, audio) for downstream transforms; stat keys outside the
+    payload's modality are None.
     """
-    if fake:
-        return _fake_decode(payload)
-    raise NotImplementedError(
-        f"no codec available for {mime!r}; install a decoder and replace "
-        "decode_media, or run with fake=True"
-    )
+    import hashlib as _hashlib
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    def _hist(values, top):
+        """feature_dim-bin normalized histogram of ints in [0, top]."""
+        counts = [0] * feature_dim
+        if not values:
+            return [0.0] * feature_dim
+        span = top + 1
+        for v in values:
+            counts[min(v * feature_dim // span, feature_dim - 1)] += 1
+        n = float(len(values))
+        return [c / n for c in counts]
+
+    def _parse_netpbm(payload):
+        # Tokenizer: magic, width, height, maxval; '#' comments run to
+        # end of line; a single whitespace byte separates the header
+        # from the raster.
+        pos = 0
+
+        def token():
+            nonlocal pos
+            while pos < len(payload):
+                c = payload[pos : pos + 1]
+                if c == b"#":
+                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    break
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            return payload[start:pos]
+
+        magic = token()
+        channels = 3 if magic == b"P6" else 1
+        width = int(token())
+        height = int(token())
+        maxval = int(token())
+        if maxval > 255:
+            raise ValueError(f"netpbm maxval {maxval} > 255 unsupported")
+        pos += 1  # exactly one whitespace byte before the raster
+        raster = payload[pos : pos + width * height * channels]
+        if len(raster) != width * height * channels:
+            raise ValueError("netpbm raster truncated")
+        return width, height, channels, list(raster)
+
+    def _parse_bmp(payload):
+        if len(payload) < 54:
+            raise ValueError("BMP too short")
+        data_offset = _struct.unpack_from("<I", payload, 10)[0]
+        width, height = _struct.unpack_from("<ii", payload, 18)
+        bpp = _struct.unpack_from("<H", payload, 28)[0]
+        compression = _struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"only uncompressed 24-bpp BMP supported, got {bpp}/{compression}")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        pixels = []
+        for row in range(height):
+            src_row = (height - 1 - row) if bottom_up else row
+            base = data_offset + src_row * stride
+            line = payload[base : base + width * 3]
+            if len(line) != width * 3:
+                raise ValueError("BMP pixel data truncated")
+            for x in range(width):
+                b, g, r = line[3 * x], line[3 * x + 1], line[3 * x + 2]
+                pixels.extend((r, g, b))
+        return width, height, 3, pixels
+
+    def _parse_wav(payload):
+        with _wave.open(_io.BytesIO(payload), "rb") as w:
+            nchan = w.getnchannels()
+            rate = w.getframerate()
+            sampwidth = w.getsampwidth()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+        if sampwidth == 2:
+            samples = [s[0] for s in _struct.iter_unpack("<h", raw)]
+        elif sampwidth == 1:
+            samples = [b - 128 for b in raw]  # unsigned 8-bit PCM
+        else:
+            raise ValueError(f"sample width {sampwidth} unsupported")
+        return rate, nchan, nframes, samples
+
+    def decode(payload, mime, fake=False):
+        out = {
+            "kind": None,
+            "width": None,
+            "height": None,
+            "channels": None,
+            "n_pixels": None,
+            "pixel_sum": None,
+            "sample_rate": None,
+            "n_samples": None,
+            "abs_sum": None,
+            "feature": None,
+            "pixels": None,
+            "samples": None,
+        }
+        head = payload[:12]
+        if head[:2] in (b"P6", b"P5") or head[:2] == b"BM":
+            if head[:2] == b"BM":
+                w, h, c, pixels = _parse_bmp(payload)
+            else:
+                w, h, c, pixels = _parse_netpbm(payload)
+            out.update(
+                kind="image",
+                width=w,
+                height=h,
+                channels=c,
+                n_pixels=w * h,
+                pixel_sum=sum(pixels),
+                feature=_hist(pixels, 255),
+                pixels=pixels,
+            )
+        elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            rate, nchan, nframes, samples = _parse_wav(payload)
+            peak = max((abs(s) for s in samples), default=0)
+            out.update(
+                kind="audio",
+                channels=nchan,
+                sample_rate=rate,
+                n_samples=nframes,
+                abs_sum=sum(abs(s) for s in samples),
+                feature=_hist([abs(s) for s in samples], max(peak, 1)),
+                samples=samples,
+            )
+        elif fake:
+            h = _hashlib.sha256(payload).digest()
+            out.update(
+                kind="fake",
+                feature=[
+                    int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65536.0
+                    for i in range(feature_dim)
+                ],
+            )
+        else:
+            raise NotImplementedError(
+                f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
+                "supported: netpbm P5/P6, 24-bpp BMP, PCM WAV — or run "
+                "with fake=True for a deterministic stand-in feature"
+            )
+        return out
+
+    return decode
+
+
+_MODULE_DECODER = None
+
+
+def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict:
+    """Decode one media payload (see :func:`_build_decoder` for the
+    returned dict).  Real stdlib decoding for netpbm/BMP/WAV; other
+    formats raise ``NotImplementedError`` unless ``fake=True``."""
+    global _MODULE_DECODER
+    if _MODULE_DECODER is None:
+        _MODULE_DECODER = _build_decoder()
+    return _MODULE_DECODER(payload, mime, fake=fake)
 
 
 def featurize_media(
     df: DataFrame,
     id_col: str = "media_id",
     media_col: str = "media",
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract over a media-struct column.
 
@@ -99,55 +276,123 @@ def featurize_media(
     preserved (no shuffle).  At 100 TB: size input partitions so one
     batch of payloads fits comfortably in worker memory
     (``spark.sql.files.maxPartitionBytes`` + maxRecordsPerBatch).
-    """
 
-    # NOTE: the closure must be fully self-contained (stdlib imports
-    # inside, no references to this module's globals).  cloudpickle
-    # ships nested functions by value, but any referenced module-level
-    # symbol is pickled by REFERENCE and would require this package to
-    # be importable on every Python worker — not guaranteed when the
-    # consuming driver runs from another working directory.
-    feature_dim = FEATURE_DIM
+    netpbm/BMP/WAV payloads are decoded for real (geometry, exact
+    pixel/sample sums, 16-bin histogram feature); ``fake=True`` lets
+    unsupported formats through with a deterministic hash feature
+    instead of raising.
+    """
+    decode = _build_decoder(FEATURE_DIM)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         import pandas as _pd
 
-        def _decode(payload: bytes, mime: str) -> list[float]:
-            if fake:
-                h = _hashlib.sha256(payload).digest()
-                return [
-                    int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65536.0
-                    for i in range(feature_dim)
-                ]
-            raise NotImplementedError(
-                f"no codec available for {mime!r}; install a decoder and "
-                "replace decode_media, or run with fake=True"
-            )
-
+        stat_keys = [
+            "kind",
+            "width",
+            "height",
+            "channels",
+            "n_pixels",
+            "pixel_sum",
+            "sample_rate",
+            "n_samples",
+            "abs_sum",
+            "feature",
+        ]
         for pdf in batches:
             payloads = pdf["__bytes"]
             mimes = pdf["__mime"]
             out = {
-                "media_id": pdf[id_col],
+                "media_id": pdf["__id"],
                 "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
                 "sha256": payloads.map(
                     lambda b: _hashlib.sha256(b).hexdigest() if b is not None else None
                 ),
-                "feature": [
-                    None if b is None else _decode(bytes(b), m)
-                    for b, m in zip(payloads, mimes)
-                ],
             }
+            cols = {k: [] for k in stat_keys}
+            for b, m in zip(payloads, mimes):
+                d = (
+                    dict.fromkeys(stat_keys)
+                    if b is None
+                    else decode(bytes(b), m, fake=fake)
+                )
+                for k in stat_keys:
+                    cols[k].append(d[k])
+            out.update(cols)
             yield _pd.DataFrame(out)
 
     flat = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("__id"),
         F.col(f"{media_col}.bytes").alias("__bytes"),
         F.col(f"{media_col}.mime").alias("__mime"),
     )
     return flat.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic payload synthesis (test/bench corpus generation)
+# ---------------------------------------------------------------------------
+
+#: schema emitted by synthesize_media
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> DataFrame:
+    """Emit a REAL media payload per id, closed-form from the id alone:
+
+    - ``image``: P6 PPM, ``(4 + id%5) x (3 + id%7)``, constant pixel
+      ``(id%256, id*7%256, id*13%256)`` — so n_bytes, geometry and
+      pixel_sum are exact integer functions of the id an external SQL
+      oracle can reproduce.
+    - ``audio``: mono 16-bit 16 kHz WAV, ``200 + id%50`` samples, all
+      equal to ``100 + id%900``.
+
+    Generation is a map-only ``mapInPandas`` (no shuffle); the closure
+    is self-contained for worker shipping.
+    """
+    if modality not in ("image", "audio"):
+        raise ValueError(f"unknown modality {modality!r}")
+    want_image = modality == "image"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+
+        import pandas as _pd
+
+        def _ppm(i):
+            w, h = 4 + i % 5, 3 + i % 7
+            px = bytes((i % 256, i * 7 % 256, i * 13 % 256))
+            return b"P6\n%d %d\n255\n" % (w, h) + px * (w * h)
+
+        def _wav(i):
+            amp, n = 100 + i % 900, 200 + i % 50
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(16_000)
+                f.writeframes(_struct.pack("<h", amp) * n)
+            return buf.getvalue()
+
+        build = _ppm if want_image else _wav
+        for pdf in batches:
+            ids = pdf["__id"]
+            yield _pd.DataFrame(
+                {"media_id": ids, "payload": [build(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        synth, schema=SYNTH_SCHEMA
+    )
 
 
 def sample_frames(
@@ -159,7 +404,8 @@ def sample_frames(
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled timestamp with a (stub) frame payload.  The timestamp grid
     comes from metadata (duration_ms), JVM-side via sequence+explode;
-    only the per-frame decode would live in Python."""
+    only the per-frame decode would live in Python (no stdlib video
+    codec exists, so the frame payload stays a deterministic digest)."""
     grid = df.select(
         F.col(id_col),
         F.col(f"{media_col}.bytes").alias("__payload"),
@@ -204,83 +450,188 @@ def resize_images(
     media_col: str = "media",
     fake: bool = True,
 ) -> DataFrame:
-    """Aspect-preserving image resize plumbing.
+    """Aspect-preserving image resize (scale = max_side / longest
+    side, never upscale).
 
-    The OUTPUT GEOMETRY is real and computed JVM-side from metadata
-    (scale = max_side / longest side, never upscale); only the pixel
-    resample is the stubbed codec step (``fake=True`` emits a
-    deterministic digest payload of plausible size).  At 100 TB this
-    is a map-only narrow transform; payload bytes stay inside their
-    partition end to end.
+    For netpbm/BMP payloads the pixel resample is REAL: the payload is
+    decoded, nearest-neighbor resampled (src = dst * in/out, floor),
+    and re-encoded as a P6 PPM payload; the output geometry comes from
+    the decoded raster.  For formats with no stdlib codec, the output
+    geometry is still computed for real from the struct's metadata
+    width/height, and the payload is a deterministic digest stand-in
+    when ``fake=True`` (the default) or a raise when ``fake=False``.
+    At 100 TB this is a map-only narrow transform; payload bytes stay
+    inside their partition end to end.
     """
     w = F.col(f"{media_col}.width")
     h = F.col(f"{media_col}.height")
     scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
-    out_w = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
-    out_h = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
     geom = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("__id"),
         F.col(f"{media_col}.bytes").alias("__bytes"),
         F.col(f"{media_col}.mime").alias("__mime"),
-        out_w.alias("out_width"),
-        out_h.alias("out_height"),
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("int").alias("__meta_ow"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("int").alias("__meta_oh"),
     )
+    decode = _build_decoder(FEATURE_DIM)
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         import pandas as _pd
 
+        def _nearest(pixels, iw, ih, c, ow, oh):
+            out = bytearray()
+            for y in range(oh):
+                sy = y * ih // oh
+                for x in range(ow):
+                    sx = x * iw // ow
+                    base = (sy * iw + sx) * c
+                    px = pixels[base : base + c]
+                    out.extend(px if c == 3 else px * 3)
+            return bytes(out)
+
+        def _one(b, m, meta_ow, meta_oh):
+            if b is None:
+                return None, None, None
+            payload = bytes(b)
+            try:
+                d = decode(payload, m, fake=False)
+            except NotImplementedError:
+                if not fake:
+                    raise
+                d = None
+            if d is None or d["kind"] != "image":
+                ow = None if _pd.isna(meta_ow) else int(meta_ow)
+                oh = None if _pd.isna(meta_oh) else int(meta_oh)
+                return ow, oh, _hashlib.sha256(payload + b"|resize").digest()
+            iw, ih, c = d["width"], d["height"], d["channels"]
+            s = min(1.0, max_side / max(iw, ih))
+            ow = max(1, int(iw * s))
+            oh = max(1, int(ih * s))
+            raster = _nearest(d["pixels"], iw, ih, c, ow, oh)
+            return ow, oh, b"P6\n%d %d\n255\n" % (ow, oh) + raster
+
         for pdf in batches:
-            if fake:
-                resized = [
-                    None
-                    if b is None or ow is None
-                    else _hashlib.sha256(
-                        bytes(b) + f"{ow}x{oh}".encode()
-                    ).digest()
-                    for b, ow, oh in zip(
-                        pdf["__bytes"], pdf["out_width"], pdf["out_height"]
-                    )
-                ]
-            else:
-                raise NotImplementedError(
-                    "no image codec in this container; replace resample "
-                    "or run with fake=True"
+            rows = [
+                _one(b, m, ow, oh)
+                for b, m, ow, oh in zip(
+                    pdf["__bytes"], pdf["__mime"], pdf["__meta_ow"], pdf["__meta_oh"]
                 )
+            ]
             yield _pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "out_width": pdf["out_width"],
-                    "out_height": pdf["out_height"],
-                    "resized": resized,
+                    "media_id": pdf["__id"],
+                    "out_width": [r[0] for r in rows],
+                    "out_height": [r[1] for r in rows],
+                    "resized": [r[2] for r in rows],
                 }
             )
 
     return geom.mapInPandas(resample, schema=RESIZE_SCHEMA)
 
 
+#: schema emitted by resample_audio
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("target_hz", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("pcm", T.BinaryType(), True),
+    ]
+)
+
+
 def resample_audio(
     df: DataFrame,
     target_hz: int = 16_000,
-    source_hz: int = 44_100,
     id_col: str = "media_id",
     media_col: str = "media",
+    fake: bool = True,
 ) -> DataFrame:
-    """Audio resample plumbing: output sample count is exact metadata
-    arithmetic (duration_ms * target_hz / 1000), JVM-side; the PCM
-    interpolation itself is the stubbed codec step, represented by a
-    deterministic digest so downstream schema/partitioning is real."""
-    dur = F.coalesce(F.col(f"{media_col}.duration_ms"), F.lit(0))
-    return df.select(
-        F.col(id_col),
-        F.lit(target_hz).alias("target_hz"),
-        (dur * target_hz / 1000).cast("long").alias("n_samples"),
-        F.sha2(
-            F.concat(
-                F.col(f"{media_col}.bytes"),
-                F.lit(f"@{source_hz}->{target_hz}").cast("binary"),
-            ),
-            256,
-        ).alias("pcm_digest"),
+    """Audio resample: for WAV payloads, REAL linear interpolation of
+    the decoded PCM (stdlib ``wave`` in, 16-bit mono WAV out), map-only
+    via ``mapInPandas``; output length is ``max(1, n_in * target //
+    source)`` and multi-channel input is averaged to mono first.  For
+    payloads with no stdlib codec, the output sample count is exact
+    metadata arithmetic (duration_ms * target_hz / 1000) and the pcm
+    payload is a deterministic digest stand-in when ``fake=True`` (the
+    default), else the decode raises."""
+    decode = _build_decoder(FEATURE_DIM)
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+
+        import pandas as _pd
+
+        def _one(b, m, dur_ms):
+            if b is None:
+                return None, None, None
+            try:
+                d = decode(bytes(b), m, fake=False)
+            except NotImplementedError:
+                if not fake:
+                    raise
+                d = None
+            if d is None or d["kind"] != "audio":
+                n_out = (
+                    None
+                    if _pd.isna(dur_ms)
+                    else int(dur_ms) * target_hz // 1000
+                )
+                digest = _hashlib.sha256(
+                    bytes(b) + b"|resample|%d" % target_hz
+                ).digest()
+                return n_out, None, digest
+            nchan, rate = d["channels"], d["sample_rate"]
+            frames = d["samples"]
+            if nchan > 1:  # average to mono per frame
+                frames = [
+                    sum(frames[i : i + nchan]) // nchan
+                    for i in range(0, len(frames), nchan)
+                ]
+            n_in = len(frames)
+            n_out = max(1, n_in * target_hz // rate)
+            out = []
+            for j in range(n_out):
+                pos = j * (n_in - 1) / max(1, n_out - 1) if n_out > 1 else 0.0
+                lo = int(pos)
+                hi = min(lo + 1, n_in - 1)
+                frac = pos - lo
+                out.append(int(round(frames[lo] * (1 - frac) + frames[hi] * frac)))
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(target_hz)
+                f.writeframes(b"".join(_struct.pack("<h", s) for s in out))
+            return n_out, sum(abs(s) for s in out), buf.getvalue()
+
+        for pdf in batches:
+            rows = [
+                _one(b, m, dur)
+                for b, m, dur in zip(
+                    pdf["__bytes"], pdf["__mime"], pdf["__dur_ms"]
+                )
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["__id"],
+                    "target_hz": target_hz,
+                    "n_samples": [r[0] for r in rows],
+                    "abs_sum": [r[1] for r in rows],
+                    "pcm": [r[2] for r in rows],
+                }
+            )
+
+    flat = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(f"{media_col}.bytes").alias("__bytes"),
+        F.col(f"{media_col}.mime").alias("__mime"),
+        F.col(f"{media_col}.duration_ms").alias("__dur_ms"),
     )
+    return flat.mapInPandas(resample, schema=RESAMPLE_SCHEMA)

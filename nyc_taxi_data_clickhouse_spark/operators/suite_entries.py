@@ -374,6 +374,159 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featurize_media(media, fake=True).select("media_id", "n_bytes", "sha256")
 
 
+@register(
+    "multimodal_image_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(11 + 3 * (4 + doc_id % 5) * (3 + doc_id % 7) AS BIGINT) AS n_bytes,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           3 AS channels,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 7) AS BIGINT) AS n_pixels,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 7)
+                * ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256))
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL image decode — per-doc P6 PPM payloads are "
+    "synthesized closed-form from the id (geometry and constant pixel "
+    "color are pure id arithmetic), parsed back by the stdlib netpbm "
+    "decoder inside mapInPandas, and the decoded geometry/pixel_sum "
+    "must match the oracle's integer arithmetic exactly.  No fake "
+    "features anywhere in this path.",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(
+        synthesize_media(ids, "image"), "payload", "image/x-portable-pixmap"
+    )
+    return featurize_media(media, fake=False).select(
+        "media_id", "n_bytes", "width", "height", "channels", "n_pixels", "pixel_sum"
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id AS media_id,
+           16000 AS sample_rate,
+           CAST(200 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST((200 + doc_id % 50) * (100 + doc_id % 900) AS BIGINT) AS abs_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL audio decode — per-doc 16-bit mono WAV "
+    "payloads (constant amplitude, closed-form from the id) are built "
+    "with the stdlib wave writer, decoded back by the wave reader "
+    "inside mapInPandas; sample_rate/n_samples/abs_sum must match the "
+    "oracle's integer arithmetic exactly.",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "audio"), "payload", "audio/wav")
+    return featurize_media(media, fake=False).select(
+        "media_id", "sample_rate", "n_samples", "abs_sum"
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(greatest(1, floor((4 + doc_id % 5)
+                * least(1.0, 4.0 / greatest(4 + doc_id % 5, 3 + doc_id % 7))))
+                AS INT) AS out_width,
+           CAST(greatest(1, floor((3 + doc_id % 7)
+                * least(1.0, 4.0 / greatest(4 + doc_id % 5, 3 + doc_id % 7))))
+                AS INT) AS out_height,
+           CAST(greatest(1, floor((4 + doc_id % 5)
+                * least(1.0, 4.0 / greatest(4 + doc_id % 5, 3 + doc_id % 7))))
+              * greatest(1, floor((3 + doc_id % 7)
+                * least(1.0, 4.0 / greatest(4 + doc_id % 5, 3 + doc_id % 7))))
+              * ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256))
+              AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL resize — synthesized constant-color PPMs "
+    "are decoded, nearest-neighbor resampled to max_side=4, re-encoded "
+    "as P6, then decoded AGAIN to prove the emitted payload is a valid "
+    "image with the predicted geometry and pixel_sum (constant color "
+    "survives nearest-neighbor exactly).",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        resize_images,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(
+        synthesize_media(ids, "image"), "payload", "image/x-portable-pixmap"
+    )
+    resized = resize_images(media, max_side=4, fake=False)
+    # round-trip: decode the re-encoded payload and report ITS stats
+    redecoded = featurize_media(
+        pack_media(resized, "resized", "image/x-portable-pixmap"), fake=False
+    )
+    return redecoded.select(
+        "media_id",
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+        "pixel_sum",
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    """
+    SELECT doc_id AS media_id,
+           8000 AS target_hz,
+           CAST((200 + doc_id % 50) // 2 AS BIGINT) AS n_samples,
+           CAST(((200 + doc_id % 50) // 2)
+                * (100 + doc_id % 900) AS BIGINT) AS abs_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL audio resample — synthesized constant-"
+    "amplitude WAVs are linearly interpolated 16 kHz -> 8 kHz (n_out = "
+    "n_in * target // source = n_in // 2, floor division), and the "
+    "reported n_samples/abs_sum must match the oracle's arithmetic "
+    "(a constant signal survives linear interpolation exactly).",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        pack_media,
+        resample_audio,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "audio"), "payload", "audio/wav")
+    return resample_audio(media, target_hz=8000, fake=False).select(
+        "media_id", "target_hz", "n_samples", "abs_sum"
+    )
+
+
 # ===========================================================================
 # events sessionization (gap-based, window functions over event time)
 # ===========================================================================

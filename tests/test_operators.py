@@ -187,11 +187,174 @@ def test_featurize_media_fake_deterministic(spark):
     assert out1[1]["n_bytes"] == 9
 
 
-def test_decode_media_stub_raises():
+def test_decode_media_raises_without_codec():
     from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8", "image/jpeg", fake=False)
+        decode_media(b"\xff\xd8jpegbytes", "image/jpeg", fake=False)
+
+
+def test_decode_ppm_golden():
+    """Hand-written P6 with a header comment: 2x2, distinct pixels."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    raster = bytes(
+        [255, 0, 0,   0, 255, 0,
+         0, 0, 255,   10, 20, 30]
+    )
+    payload = b"P6\n# a comment\n2 2\n255\n" + raster
+    d = decode_media(payload, "image/x-portable-pixmap")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("image", 2, 2, 3)
+    assert d["n_pixels"] == 4
+    assert d["pixel_sum"] == 255 * 3 + 10 + 20 + 30
+    assert d["pixels"] == list(raster)
+    assert len(d["feature"]) == 16 and abs(sum(d["feature"]) - 1.0) < 1e-9
+
+
+def test_decode_pgm_golden():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    payload = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    d = decode_media(payload, "image/x-portable-graymap")
+    assert (d["width"], d["height"], d["channels"]) == (3, 1, 1)
+    assert d["pixel_sum"] == 383
+
+
+def test_decode_bmp_golden():
+    """Hand-built 24-bpp BMP: 2x2 bottom-up, rows padded to 4 bytes.
+
+    Pixel layout (image coordinates, top-left origin):
+        (0,0)=red (255,0,0)   (1,0)=green (0,255,0)
+        (0,1)=blue (0,0,255)  (1,1)=white (255,255,255)
+    Stored bottom-up (last row first) in BGR order, stride 8 (2px*3B
+    padded to 8).
+    """
+    import struct
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    def bgr(r, g, b):
+        return bytes([b, g, r])
+
+    row_bottom = bgr(0, 0, 255) + bgr(255, 255, 255) + b"\x00\x00"  # y=1
+    row_top = bgr(255, 0, 0) + bgr(0, 255, 0) + b"\x00\x00"         # y=0
+    pixel_data = row_bottom + row_top  # bottom-up
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    payload = header + dib + pixel_data
+    d = decode_media(payload, "image/bmp")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("image", 2, 2, 3)
+    # pixels come back top-down, RGB
+    assert d["pixels"] == [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    assert d["pixel_sum"] == 255 * 6
+
+
+def test_decode_wav_golden():
+    import io
+    import struct
+    import wave
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack("<4h", 100, -200, 0, 300))
+    d = decode_media(buf.getvalue(), "audio/wav")
+    assert (d["kind"], d["sample_rate"], d["n_samples"]) == ("audio", 8000, 4)
+    assert d["abs_sum"] == 600
+    assert d["samples"] == [100, -200, 0, 300]
+
+
+def test_featurize_media_real_decode(spark):
+    """fake=False end-to-end through mapInPandas on a real PPM payload."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+    )
+
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    media = pack_media(df, "payload", "image/x-portable-pixmap")
+    r = featurize_media(media, fake=False).first()
+    assert (r["kind"], r["width"], r["height"], r["channels"]) == ("image", 2, 1, 3)
+    assert r["n_pixels"] == 2 and r["pixel_sum"] == 210
+    assert r["n_bytes"] == len(payload)
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """2x2 distinct-color PPM -> 1x1: nearest neighbor picks top-left;
+    the emitted payload is itself a decodable P6."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_media,
+        pack_media,
+        resize_images,
+    )
+
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    payload = b"P6\n2 2\n255\n" + raster
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    media = pack_media(df, "payload", "image/x-portable-pixmap")
+    r = resize_images(media, max_side=1, fake=False).first()
+    assert (r["out_width"], r["out_height"]) == (1, 1)
+    d = decode_media(bytes(r["resized"]), "image/x-portable-pixmap")
+    assert d["pixels"] == [255, 0, 0]  # src index floor(0 * 2/1) = 0
+
+
+def test_resample_audio_real_linear_interp(spark):
+    import io
+    import struct
+    import wave
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_media,
+        pack_media,
+        resample_audio,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16_000)
+        f.writeframes(struct.pack("<h", 500) * 100)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    media = pack_media(df, "payload", "audio/wav")
+    r = resample_audio(media, target_hz=8000, fake=False).first()
+    assert r["n_samples"] == 50
+    assert r["abs_sum"] == 50 * 500  # constant signal survives interpolation
+    d = decode_media(bytes(r["pcm"]), "audio/wav")
+    assert d["sample_rate"] == 8000 and d["n_samples"] == 50
+    assert all(s == 500 for s in d["samples"])
+
+
+def test_synthesize_media_closed_form(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    ids = spark.createDataFrame([(7,), (123,)], "media_id long")
+    img = {r["media_id"]: bytes(r["payload"])
+           for r in synthesize_media(ids, "image").collect()}
+    d = decode_media(img[123], "image/x-portable-pixmap")
+    w, h = 4 + 123 % 5, 3 + 123 % 7
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixel_sum"] == w * h * ((123 % 256) + (123 * 7 % 256) + (123 * 13 % 256))
+    wav = {r["media_id"]: bytes(r["payload"])
+           for r in synthesize_media(ids, "audio").collect()}
+    a = decode_media(wav[7], "audio/wav")
+    assert a["n_samples"] == 200 + 7 % 50
+    assert a["abs_sum"] == (200 + 7 % 50) * (100 + 7 % 900)
 
 
 def test_sample_frames_grid(spark):
@@ -336,5 +499,5 @@ def test_resample_audio_sample_count(spark):
         ).alias("media"),
     )
     r = resample_audio(df, target_hz=16_000).first()
-    assert r["n_samples"] == 40_000  # 2.5s * 16kHz
-    assert r["pcm_digest"] is not None
+    assert r["n_samples"] == 40_000  # 2.5s * 16kHz (metadata path: not a WAV)
+    assert r["pcm"] is not None
