@@ -110,23 +110,98 @@ def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     )
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from a
+    ``(id, shingle)`` table — the skew guard for candidate generation.
+
+    On web-scale corpora, boilerplate shingles (navigation chrome,
+    license headers) appear in millions of docs; joining on them makes
+    the candidate join quadratic in the hot key's df.  The df count is
+    a hash aggregation (map-side partial combine absorbs the hot keys);
+    the over-cap set is by construction the small heavy tail, so it is
+    BROADCAST and removed with an anti-join — the shingle table itself
+    is never reshuffled.
+    """
+    hot = (
+        sh.groupBy("__sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__sh")
+    )
+    return sh.join(F.broadcast(hot), "__sh", "left_anti")
+
+
+def _verified_jaccard(
+    candidates: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over (id_a, id_b) candidate pairs, from the FULL
+    shingle table: |A∩B| via the candidate-restricted shingle join,
+    |A|,|B| joined from the size table."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("id_a") == F.col("a.__id"))
+        .join(b, (F.col("id_b") == F.col("b.__id")) & (F.col("a.__sh") == F.col("b.__sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("sa.__n") + F.col("sb.__n") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
     Candidates from the shared-shingle equi-join; |A∩B| from the pair
-    groupBy; |A| and |B| joined in from the per-doc size table.  At
-    scale the shingle join key is high-cardinality and well spread —
-    the hot-key risk is boilerplate shingles (stop phrases); mitigate
-    upstream by raising n or filtering ubiquitous shingles.
+    groupBy; |A| and |B| joined in from the per-doc size table.
+
+    ``max_df`` is the hot-shingle skew guard: shingles present in more
+    than ``max_df`` docs are excluded from CANDIDATE GENERATION (see
+    :func:`cap_shingle_df`), and surviving candidates are re-verified
+    against the FULL shingle sets, so reported jaccard values are
+    exact.  The only pairs the cap can lose are those sharing *no*
+    sub-cap shingle — i.e. pure-boilerplate near-dups, which exact
+    dedup on normalized text catches far more cheaply.  Without a cap
+    the fused single-pass plan is used.
     """
     sh = _shingle_table(docs, text_col, id_col, n)
     sizes = _shingle_sizes(docs, text_col, id_col, n)
+
+    if max_df is not None:
+        capped = cap_shingle_df(sh, max_df)
+        ca = capped.alias("ca")
+        cb = capped.alias("cb")
+        candidates = (
+            ca.join(
+                cb,
+                (F.col("ca.__sh") == F.col("cb.__sh"))
+                & (F.col("ca.__id") < F.col("cb.__id")),
+            )
+            .select(F.col("ca.__id").alias("id_a"), F.col("cb.__id").alias("id_b"))
+            .distinct()
+        )
+        return _verified_jaccard(candidates, sh, sizes, threshold)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -164,11 +239,17 @@ def minhash_signature(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — minimum of ``xxhash64(shingle, seed_i)``
     per seed.  One explode + one groupBy with num_hashes min()
-    aggregates; entirely JVM-side."""
+    aggregates; entirely JVM-side.  ``max_df`` drops over-ubiquitous
+    shingles first (see :func:`cap_shingle_df`): boilerplate shingles
+    otherwise dominate signatures and pull unrelated docs into the
+    same LSH bands."""
     sh = _shingle_table(docs, text_col, id_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
     mins = [
         F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -188,6 +269,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.9,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, verified with exact
     Jaccard (so output equals the exact operator's, up to the
@@ -196,10 +278,13 @@ def minhash_lsh_pairs(
 
     Band key: xxhash64 over the band's slice of the signature.
     Candidates collide on (band index, band hash) — an equi-join-able
-    key, no cross join anywhere.
+    key, no cross join anywhere.  ``max_df`` caps shingle document
+    frequency in the SIGNATURE build only (hot-shingle skew guard);
+    verification always uses the full shingle sets, so reported
+    jaccard values stay exact.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(docs, text_col, id_col, n, num_hashes)
+    sig = minhash_signature(docs, text_col, id_col, n, num_hashes, max_df=max_df)
 
     band_entries = sig.select(
         "id",
@@ -230,33 +315,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact Jaccard (computed only for candidates)
+    # verify candidates with exact Jaccard over the FULL shingle sets
     sh = _shingle_table(docs, text_col, id_col, n)
     sizes = _shingle_sizes(docs, text_col, id_col, n)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        candidates.join(a, F.col("id_a") == F.col("a.__id"))
-        .join(b, (F.col("id_b") == F.col("b.__id")) & (F.col("a.__sh") == F.col("b.__sh")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("id_a") == F.col("sa.__id"))
-        .join(sb, F.col("id_b") == F.col("sb.__id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__inter")
-                / (F.col("sa.__n") + F.col("sb.__n") - F.col("__inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return _verified_jaccard(candidates, sh, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -212,22 +212,24 @@ _JACCARD_ORACLE = r"""
     "dedup_ngram_jaccard",
     _JACCARD_ORACLE.format(thr="0.8"),
     doc="§7 dedup: exact 3-gram Jaccard pairs >= 0.8 via shared-shingle "
-    "equi-join (no N² cross join)",
+    "equi-join (no N² cross join); max_df skew guard active — hot "
+    "shingles leave candidate generation, verification stays exact",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=100)
 
 
 @register(
     "dedup_minhash_lsh",
     _JACCARD_ORACLE.format(thr="0.9"),
     doc="§7 dedup: MinHash(64) + LSH(16 bands) candidates, exact-Jaccard "
-    "verified at 0.9 — oracle is the exact pair set (LSH miss prob ~4e-8)",
+    "verified at 0.9 — oracle is the exact pair set (LSH miss prob ~4e-8); "
+    "max_df skew guard active in the signature build",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.9, max_df=100)
 
 
 _SIMHASH_OFFSET = 10_000_000

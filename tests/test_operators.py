@@ -52,6 +52,66 @@ def test_minhash_lsh_equals_exact_jaccard(spark, docs):
     assert len(exact) > 0, "sf0.001 should contain planted near-dups"
 
 
+def test_shingle_df_cap_bounds_candidates_keeps_true_dups(spark):
+    """Planted boilerplate: 40 docs share a navigation sentence; docs
+    0/1 are additionally true near-dups.  The df cap must (a) remove
+    the boilerplate shingles from candidate generation, (b) collapse
+    the candidate count from quadratic-in-40 to just the true pair,
+    (c) leave the reported pairs and exact jaccard unchanged."""
+    boiler = "all rights reserved copyright acme corporation navigation menu"
+    rows = []
+    for i in range(40):
+        unique = f"document {i} body sentence alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, f"{boiler} {unique}"))
+    # make 0/1 true near-dups: same body except one trailing token
+    rows[1] = (1, rows[0][1] + " tail")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup._shingle_table(docs, "text", "doc_id", 3)
+    capped = dedup.cap_shingle_df(sh, max_df=5)
+    # (a) boilerplate shingles (df=40) are gone; per-doc uniques remain
+    assert capped.count() < sh.count()
+    max_remaining_df = (
+        capped.groupBy("__sh").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_remaining_df <= 5
+
+    def n_candidates(tbl):
+        a, b = tbl.alias("a"), tbl.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.__sh") == F.col("b.__sh"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select("a.__id", "b.__id")
+            .distinct()
+            .count()
+        )
+
+    # (b) uncapped: every one of the 40*39/2 pairs is a candidate
+    assert n_candidates(sh) == 40 * 39 // 2
+    assert n_candidates(capped) <= 2  # the true dup (plus at most noise)
+
+    # (c) capped result identical to uncapped for the true pairs
+    uncapped_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    capped_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_df=5).collect()
+    }
+    assert capped_pairs == uncapped_pairs
+    assert (0, 1) in {(a, b) for a, b, _ in capped_pairs}
+    # minhash path with the same cap also keeps the true pair
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6, max_df=5).collect()
+    }
+    assert (0, 1) in mh
+
+
 def test_simhash_pigeonhole_equals_bruteforce(spark, docs):
     sh = dedup.simhash(docs.limit(100))
     a, b = sh.alias("a"), sh.alias("b")
