@@ -1,0 +1,67 @@
+"""Scan-bound bench support (bench.py "scan" section / VERDICT r1 #5):
+the replicated table must be a faithful ×factor copy so the measured
+shapes are the reference's shapes at honest entropy."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark import scan_bench
+from tests.conftest import SF_SMOKE
+
+
+def test_materialize_replicates_exactly(spark):
+    scratch = tempfile.mkdtemp(prefix="scan_bench_test_")
+    try:
+        path, rows = scan_bench.materialize_big_lineitem(
+            spark, SF_SMOKE, factor=3, scratch_root=scratch, files=4
+        )
+        orig = spark.read.parquet(str(Path(SF_SMOKE) / "lineitem.parquet"))
+        assert rows == orig.count() * 3
+
+        # group-key distributions replicate exactly: q1 counts are
+        # factor x the originals (jitter only touches the measure col)
+        big = spark.read.parquet(path)
+        base = {
+            r["key"]: r["cnt"]
+            for r in scan_bench.SCAN_SHAPES["q1"](orig).collect()
+        }
+        rep = {
+            r["key"]: r["cnt"]
+            for r in scan_bench.SCAN_SHAPES["q1"](big).collect()
+        }
+        assert rep == {k: v * 3 for k, v in base.items()}
+
+        # the jitter de-dictionaries the measure column: far more
+        # distinct prices than a naive fan-out (which would keep
+        # exactly the original distinct count)
+        n_orig = orig.select("l_extendedprice").distinct().count()
+        n_big = big.select("l_extendedprice").distinct().count()
+        assert n_big > 2 * n_orig
+
+        # idempotent: second call reuses the materialization
+        path2, rows2 = scan_bench.materialize_big_lineitem(
+            spark, SF_SMOKE, factor=3, scratch_root=scratch, files=4
+        )
+        assert path2 == path and rows2 == rows
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_shapes_run_on_plain_lineitem(spark):
+    li = spark.read.parquet(str(Path(SF_SMOKE) / "lineitem.parquet"))
+    for name, shape in scan_bench.SCAN_SHAPES.items():
+        df = shape(li)
+        assert df.count() >= 0, name
+
+    # q4 ordering contract: year asc, cnt desc within year
+    rows = scan_bench.SCAN_SHAPES["q4"](li).collect()
+    years = [r["year"] for r in rows]
+    assert years == sorted(years)
+    for i in range(1, len(rows)):
+        if rows[i]["year"] == rows[i - 1]["year"]:
+            assert rows[i]["cnt"] <= rows[i - 1]["cnt"]
