@@ -465,10 +465,11 @@ def connected_components(
     shuffles) over the edge list; iterations = graph diameter, which
     for near-dup clusters (quasi-cliques) is small.  Lineage is
     truncated per iteration with ``localCheckpoint`` so the plan does
-    not grow unboundedly.  For adversarial graphs (long chains) the
-    published scale path is alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    which converges in O(log n) rounds; near-dup graphs do not need it.
+    not grow unboundedly.  For adversarial graphs (long chains) use
+    ``connected_components_star`` (O(log n)-round alternating
+    large-star/small-star); this propagation variant raises
+    ``RuntimeError`` if ``max_iter`` rounds pass without reaching the
+    fixpoint, rather than silently returning partial labels.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -503,5 +504,104 @@ def connected_components(
         n_changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
         labels = updated.drop("__changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"({n_changed} labels still changing) — the pair graph has "
+        f"diameter > max_iter (adversarial chain?); use "
+        f"connected_components_star, which needs O(log n) rounds"
+    )
+
+
+def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list as distinct (lo, hi) with self-loops dropped."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph scale path: converges in O(log n)
+    rounds on ANY graph shape (a diameter-n chain takes ~log n rounds,
+    where min-label propagation needs n).
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(N(u) ∪ {u}).  small-star(u): every smaller neighbor (and u
+    itself) attaches to the same m over the high->low orientation.
+    Both are one groupBy + one join over the edge list — the same
+    shuffle shape as a round of propagation, but the edge list
+    contracts geometrically.  At the fixpoint the graph is a union of
+    stars centered at each component's minimum id.
+
+    Returns (node, component) for every node in ``pairs``; raises
+    ``RuntimeError`` if ``max_rounds`` passes without a fixpoint
+    (cannot happen for max_rounds > ~2 log2 n; guards miswired inputs).
+    """
+    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        # ---- large-star: from each undirected edge's smaller endpoint
+        # u, re-attach the larger endpoint to min(N(u) ∪ {u})
+        und = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        nbr_min = und.groupBy("u").agg(F.min("v").alias("__mv"))
+        large = (
+            und.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("u"), F.col("__mv")).alias("b"),
+            )
+        )
+        edges = _canonical_edges(large, "a", "b").localCheckpoint(eager=True)
+
+        # ---- small-star over the high->low orientation: (lo, hi) is
+        # already that orientation, so N⁻(hi) = its lo partners
+        low_min = edges.groupBy("hi").agg(F.min("lo").alias("__m"))
+        small = (
+            edges.join(low_min, "hi")
+            .select(F.col("lo").alias("a"), F.col("__m").alias("b"))
+            .union(low_min.select(F.col("hi").alias("a"), F.col("__m").alias("b")))
+        )
+        edges = _canonical_edges(small, "a", "b").localCheckpoint(eager=True)
+
+        # fixpoint check: order-insensitive edge-set fingerprint
+        # (count + hash xor; xor can't overflow under ANSI mode and
+        # edges are distinct so cancellation can't hide a change) —
+        # two scalar aggs, one driver row
+        fp_row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        fp = (fp_row["n"], fp_row["h"])
+        if fp == prev_fp:
+            member = edges.groupBy(F.col("hi").alias("node")).agg(
+                F.min("lo").alias("component")
+            )
+            return nodes.join(member, "node", "left").select(
+                "node", F.coalesce("component", F.col("node")).alias("component")
+            )
+        prev_fp = fp
+    raise RuntimeError(
+        f"connected_components_star did not reach a fixpoint in "
+        f"{max_rounds} rounds — miswired input? (needs ~2·log2(n))"
+    )

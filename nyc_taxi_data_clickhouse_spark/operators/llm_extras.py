@@ -18,6 +18,7 @@ from nyc_taxi_data_clickhouse_spark.operators import dedup
 from nyc_taxi_data_clickhouse_spark.operators.dedup import (
     _shingle_table,
     connected_components,
+    connected_components_star,
     normalize_text,
 )
 # email then digit redaction; both patterns are RE2-and-Java-regex
@@ -163,6 +164,53 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
     return connected_components(pairs).select("node", "component")
+
+
+@register(
+    "near_dup_components_star",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+    SELECT node, least(node, min(b)) AS component
+    FROM (SELECT DISTINCT a AS node FROM sym) nodes
+    JOIN reach ON reach.a = node
+    GROUP BY node
+    """,
+    doc="§7 dedup: same component semantics as near_dup_components but "
+    "via alternating large-star/small-star (Kiveris et al. SoCC'14) — "
+    "the O(log n)-round scale path that survives adversarial chain "
+    "graphs where min-label propagation needs diameter rounds; same "
+    "DuckDB recursive-CTE oracle",
+)
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    return connected_components_star(pairs).select("node", "component")
 
 
 # ===========================================================================

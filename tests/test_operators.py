@@ -4,6 +4,7 @@ analysis edge cases, multimodal plumbing (SURVEY §7)."""
 from __future__ import annotations
 
 import pytest
+import random
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_clickhouse_spark.operators import dedup, similarity, text
@@ -506,6 +507,56 @@ def test_connected_components_chain_converges(spark):
     rows = dedup.connected_components(pairs).collect()
     assert {r["component"] for r in rows} == {0}
     assert len(rows) == 13
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """Diameter > max_iter must raise, not return partial labels
+    (VERDICT r1 #7)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    """Large-star/small-star labels == min-label propagation labels on
+    a seeded random graph (many components, varied shapes)."""
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],
+        "id_a long, id_b long",
+    ).filter("id_a <> id_b")
+    prop = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs, max_iter=50).collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert star == prop
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    """A 256-node chain (diameter 255) must finish within ~2·log2(256)
+    alternating rounds — the O(log n) contract propagation can't meet
+    (it would need 255 iterations)."""
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components_star(pairs, max_rounds=20).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n
+
+
+def test_star_raises_on_round_exhaustion(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components_star(pairs, max_rounds=1)
 
 
 def test_resize_images_geometry_and_determinism(spark):
