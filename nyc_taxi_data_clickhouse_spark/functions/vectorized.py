@@ -39,7 +39,10 @@ def vowel_ratio_udf():
     def vowel_ratio(text: pd.Series) -> pd.Series:
         n = text.str.len()
         vowels = text.str.count(r"[aeiou]")
-        return (vowels / n).where(n > 0, 0.0)
+        # NULL for empty text, matching the SQL oracle's
+        # vowels/nullif(length,0) — a 0.0 here would silently diverge
+        # from any engine that does division-by-zero -> NULL
+        return (vowels / n).where(n > 0, None)
 
     return vowel_ratio
 
@@ -49,7 +52,7 @@ def vowel_ratio_udf():
     """
     SELECT doc_id,
            round(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
-                 AS DOUBLE) / length(text), 6) AS vowel_share
+                 AS DOUBLE) / nullif(length(text), 0), 6) AS vowel_share
     FROM documents
     """,
     doc="Arrow-vectorized pandas UDF (SURVEY §2.10 — the engine's "

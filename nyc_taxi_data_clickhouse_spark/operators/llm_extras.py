@@ -372,7 +372,7 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang,
-             (doc_id * 2654435761) % 100 AS bucket
+             ((doc_id % 1000003) * 2654435761) % 100 AS bucket
       FROM documents)
     SELECT lang,
            CASE WHEN bucket < 80 THEN 'train'
@@ -392,7 +392,11 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    # mod-reduce before the Knuth multiply so the product stays within
+    # int64 for any doc_id: Spark wraps on overflow while DuckDB
+    # (HUGEINT) and other engines don't, which would silently diverge
+    # split assignment above doc_id ~3.5e9
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -455,7 +455,7 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber, l_returnflag
     FROM lineitem
-    WHERE (l_orderkey * 7 + l_linenumber) % 100 <
+    WHERE ((l_orderkey % 999999937) * 7 + l_linenumber) % 100 <
           CASE WHEN l_returnflag = 'R' THEN 20 ELSE 5 END
     """,
     doc="sampling: deterministic stratified sample via key-hash mod "
@@ -465,7 +465,10 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rate = F.when(F.col("l_returnflag") == "R", 20).otherwise(5)
-    bucket = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 100
+    # mod-reduce before multiplying: keeps the product in int64 at any
+    # key scale (engines disagree on overflow semantics, see
+    # train_val_test_split)
+    bucket = ((F.col("l_orderkey") % 999999937) * 7 + F.col("l_linenumber")) % 100
     return li.filter(bucket < rate).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
@@ -785,12 +788,11 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "format LLM pipelines actually use",
 )
 def json_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
     from nyc_taxi_data_clickhouse_spark.sources.jsonl import read_jsonl, write_jsonl
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="json_roundtrip_")
+    out = scratch_dir("json_roundtrip_")
     write_jsonl(docs, out, max_records_per_file=20_000)
     return read_jsonl(
         spark,

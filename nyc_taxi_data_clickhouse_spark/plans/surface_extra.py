@@ -137,7 +137,9 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orc_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
+
+    out = scratch_dir("orc_roundtrip_")
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(
         "o_orderkey",

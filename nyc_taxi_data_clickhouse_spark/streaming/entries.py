@@ -101,6 +101,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_clickhouse_spark.streaming.events import (
         incremental_upsert_stream,
+        read_upsert_snapshot,
     )
     from nyc_taxi_data_clickhouse_spark.suite import load_events
 
@@ -122,7 +123,7 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_upsert_stream(stream, snap, ["user_id"], "__ver")
 
         return (
-            spark.read.parquet(snap)
+            read_upsert_snapshot(spark, snap)
             .select(
                 "user_id",
                 F.col("event_id").alias("last_event_id"),

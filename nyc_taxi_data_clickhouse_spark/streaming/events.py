@@ -277,6 +277,28 @@ def stream_static_enrich(
     return events.join(broadcast(dim), F.col(on_left) == F.col(on_right))
 
 
+def current_upsert_snapshot_path(snapshot_dir: str) -> str | None:
+    """Resolve the live version directory of an upsert snapshot, or
+    None if nothing has been published yet.  The ``CURRENT`` pointer
+    file names the active ``v-*`` subdirectory."""
+    import os
+
+    pointer = os.path.join(snapshot_dir, "CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer, encoding="utf-8") as fh:
+        version = fh.read().strip()
+    return os.path.join(snapshot_dir, version)
+
+
+def read_upsert_snapshot(spark, snapshot_dir: str) -> DataFrame:
+    """Read the current published state of an upsert snapshot."""
+    path = current_upsert_snapshot_path(snapshot_dir)
+    if path is None:
+        raise FileNotFoundError(f"no published snapshot under {snapshot_dir}")
+    return spark.read.parquet(path)
+
+
 def incremental_upsert_stream(
     events: DataFrame,
     snapshot_dir: str,
@@ -288,10 +310,20 @@ def incremental_upsert_stream(
     into a parquet snapshot, so the snapshot converges to
     "latest row per key" regardless of arrival order.
 
-    Returns the number of micro-batches processed.  The
-    write-to-tmp-then-swap makes each batch's publish atomic at the
-    directory level; on a real deployment the same foreachBatch body
-    targets a transactional table format instead.
+    Returns the number of micro-batches processed.  Publishes are
+    crash-safe: each batch writes a fresh ``v-*`` version directory
+    (never touching live data), then atomically swaps the ``CURRENT``
+    pointer file via ``os.replace``; superseded versions are deleted
+    only after the swap, so a crash at ANY point leaves a readable
+    snapshot — at worst an orphaned version directory that the next
+    publish garbage-collects.  A replayed micro-batch (crash before
+    the stream checkpoint committed) re-merges against the old CURRENT
+    and republishes, which is idempotent.  Read the live state with
+    ``read_upsert_snapshot`` — the snapshot_dir itself holds version
+    dirs plus the pointer, not bare parquet.  On a real deployment the
+    same foreachBatch body targets a transactional table format
+    instead; this is the filesystem-parquet equivalent of its
+    version-pointer commit protocol.
 
     Scale notes: each batch rewrites only the merged snapshot —
     with the snapshot partitioned/bucketed on the key, rewrite cost is
@@ -301,6 +333,7 @@ def incremental_upsert_stream(
     """
     import os
     import shutil
+    import uuid
 
     from nyc_taxi_data_clickhouse_spark.plans.upsert import merge_upsert
 
@@ -309,16 +342,33 @@ def incremental_upsert_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         n_batches["n"] += 1
         spark = batch_df.sparkSession
-        if os.path.exists(snapshot_dir):
-            current = spark.read.parquet(snapshot_dir)
+        live = current_upsert_snapshot_path(snapshot_dir)
+        if live is not None:
+            current = spark.read.parquet(live)
         else:
             current = batch_df.limit(0)
         merged = merge_upsert(current, batch_df, key_cols, version_col)
-        tmp = snapshot_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.replace(tmp, snapshot_dir)
+
+        # unique name per attempt: a replayed batch after a crash must
+        # not collide with its own orphaned directory
+        version = f"v-{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, version)
+        )
+        # atomic pointer swap: write-tmp + os.replace (POSIX-atomic)
+        pointer = os.path.join(snapshot_dir, "CURRENT")
+        tmp = pointer + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, pointer)
+        # GC superseded + orphaned versions strictly after the swap
+        for name in os.listdir(snapshot_dir):
+            if name.startswith("v-") and name != version:
+                shutil.rmtree(
+                    os.path.join(snapshot_dir, name), ignore_errors=True
+                )
 
     q = (
         events.writeStream.foreachBatch(process)

@@ -427,8 +427,6 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(identity oracle; exercises the trans.py-subsuming reader config)",
 )
 def csv_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark.sql import types as T
 
     from nyc_taxi_data_clickhouse_spark.sources.csv import (
@@ -438,7 +436,9 @@ def csv_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
     li = load_table(spark, sf_dir, "lineitem").select(*cols)
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
+
+    out = scratch_dir("csv_roundtrip_")
     write_csv_shards(li, out, max_records_per_file=20_000)
     schema = T.StructType(
         [
@@ -461,10 +461,10 @@ def csv_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "attach, partition-pruned aggregate (identity-agg oracle)",
 )
 def gold_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
 
     li = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="gold_rt_")
+    out = scratch_dir("gold_rt_")
     (
         li.withColumn("ship_year", F.year("l_shipdate"))
         .repartition(F.col("ship_year"))

@@ -187,6 +187,26 @@ def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
 # text edge cases
 # ---------------------------------------------------------------------------
 
+def test_vowel_ratio_udf_empty_text_is_null(spark):
+    """Empty text -> NULL (not 0.0), matching the SQL oracle's
+    nullif(length, 0) divide — the fixture corpus has no empty docs so
+    this pins the divergence case explicitly (ADVICE r1)."""
+    from nyc_taxi_data_clickhouse_spark.functions.vectorized import vowel_ratio_udf
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "aeiou"), (3, "xyz"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["vr"]
+        for r in df.select("doc_id", vowel_ratio_udf()("text").alias("vr")).collect()
+    }
+    assert got[1] is None
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] is None
+
+
 def test_text_empty_and_blank(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "one two three")], "doc_id long, text string"

@@ -159,7 +159,7 @@ def test_incremental_upsert_processes_multiple_batches(spark, tmp_path):
         .filter("rn = 1")
         .select("user_id", "event_id")
     )
-    got = spark.read.parquet(snap).select("user_id", "event_id")
+    got = ev.read_upsert_snapshot(spark, snap).select("user_id", "event_id")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
@@ -204,6 +204,64 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     )
     got = {
         (r["user_id"], r["event_id"])
-        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+        for r in ev.read_upsert_snapshot(spark, snap)
+        .select("user_id", "event_id")
+        .collect()
     }
     assert got == {("u1", "a1"), ("u2", "b2"), ("u3", "a3"), ("u4", "b4")}
+
+
+def test_upsert_publish_is_crash_safe(spark, tmp_path):
+    """Simulated crash windows: (a) an orphaned version dir from a
+    failed attempt never shadows CURRENT and is GC'd by the next
+    publish; (b) the live snapshot stays readable at every point —
+    there is no rmtree-the-live-data window."""
+    import datetime as dt
+    import os
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, 0, 0, s)) for u, e, s in rows],
+            "user_id string, event_id string, ts timestamp",
+        )
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    mk([("u1", "a1", 1), ("u2", "a2", 2)]).coalesce(1).write.parquet(src)
+
+    def run(schema):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("__ver", F.struct("ts", "event_id"))
+        )
+        return ev.incremental_upsert_stream(stream, snap, ["user_id"], "__ver")
+
+    schema = mk([]).schema
+    run(schema)
+    live_before = ev.current_upsert_snapshot_path(snap)
+    assert live_before is not None and os.path.isdir(live_before)
+
+    # (a) crash artifact: orphaned version dir + stale pointer tmp file
+    orphan = os.path.join(snap, "v-99-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(snap, "CURRENT.tmp-dead"), "w") as fh:
+        fh.write("v-99-deadbeef")
+    assert ev.current_upsert_snapshot_path(snap) == live_before
+
+    # (b) next publish GCs the orphan and swaps the pointer; old
+    # version is removed only after the swap
+    mk([("u2", "b2", 9)]).coalesce(1).write.mode("append").parquet(src)
+    run(schema)
+    live_after = ev.current_upsert_snapshot_path(snap)
+    assert live_after != live_before
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(live_before)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in ev.read_upsert_snapshot(spark, snap)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == {("u1", "a1"), ("u2", "b2")}
