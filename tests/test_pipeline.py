@@ -118,6 +118,40 @@ def test_catalog_row_counts(spark, trips_staging):
     assert rows.get("rc_probe") == trips_staging.count()
 
 
+def test_catalog_counts_from_statistics_and_pretty(spark, trips_staging):
+    """A7/F14: after ANALYZE, counts come from catalog statistics
+    (metadata-only, the reltuples analog) and still agree with the
+    exact scan; the pretty report is thousands-grouped and lpad-
+    aligned like the reference's to_char/lpad monitoring query
+    (README.md:271-278)."""
+    from nyc_taxi_data_clickhouse_spark.sources import catalog as cat
+
+    spark.sql("DROP TABLE IF EXISTS rc_stats_probe")
+    spark.range(1234).write.saveAsTable("rc_stats_probe")
+    try:
+        assert cat._stats_row_count(spark, "rc_stats_probe") is None
+        cat.analyze_tables(spark, ["rc_stats_probe"])
+        assert cat._stats_row_count(spark, "rc_stats_probe") == 1234
+
+        stats_rows = {
+            r["table_name"]: r["row_count"]
+            for r in cat.table_row_counts(spark).collect()
+        }
+        exact_rows = {
+            r["table_name"]: r["row_count"]
+            for r in cat.table_row_counts(spark, use_stats=False).collect()
+        }
+        assert stats_rows["rc_stats_probe"] == exact_rows["rc_stats_probe"] == 1234
+
+        pretty = {
+            r["table_name"]: r["row_count_pretty"]
+            for r in cat.table_row_counts_pretty(spark).collect()
+        }
+        assert pretty["rc_stats_probe"] == "1,234".rjust(16)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rc_stats_probe")
+
+
 def test_corrupt_csv_rows_are_quarantined(spark, tmp_path):
     """PERMISSIVE + columnNameOfCorruptRecord: malformed rows land in
     the audit column with the raw line preserved; clean rows parse."""
