@@ -761,18 +761,37 @@ def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile",
-    None,  # sketch-based; accuracy bound asserted in pytest
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="§2.4 extension: approx_percentile (Greenwald-Khanna sketch, "
     "mergeable across partitions — the 100 TB path where exact "
-    "percentile's global sort is not viable); rows-only gate, error "
-    "bound vs exact asserted in pytest",
+    "percentile's global sort is not viable).  Sketch values are "
+    "engine-specific, so the entry computes BOTH the sketch and the "
+    "exact interpolated percentile in one agg and reports the "
+    "bounded-error check Spark-side; the oracle pins exact values + "
+    "the bound (the approx_distinct pattern); tighter bound in pytest",
 )
 def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_pcts"
-        )
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("__e50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("__e90"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("__a"),
+    )
+    close = (
+        (F.abs(F.col("__a")[0] - F.col("__e50")) / F.col("__e50") < 0.01)
+        & (F.abs(F.col("__a")[1] - F.col("__e90")) / F.col("__e90") < 0.01)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("__e50", 4).alias("exact_p50"),
+        F.round("__e90", 4).alias("exact_p90"),
+        close.alias("approx_within_1pct"),
     )
 
 

