@@ -249,3 +249,94 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal")
         )
     )
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t,
+             (CASE WHEN trim(text)='' THEN 0
+                   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS n
+      FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE n > 0),
+    uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+    us AS (SELECT doc_id, max(c) AS top_uni FROM uc GROUP BY 1),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM toks WHERE n >= 2),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+    bs AS (SELECT doc_id, max(c) AS top_bi FROM bc GROUP BY 1)
+    SELECT t.doc_id, t.n AS n_tokens,
+           round(us.top_uni * 1.0 / t.n, 6) AS top_unigram_frac,
+           round(bs.top_bi * 1.0 / (t.n - 1), 6) AS top_bigram_frac,
+           t.n >= 5 AND (coalesce(us.top_uni * 1.0 / t.n > 0.3, FALSE)
+             OR coalesce(bs.top_bi * 1.0 / (t.n - 1) > 0.2, FALSE)) AS repetitive
+    FROM toks t LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+    """,
+    doc="§7 quality: Gopher/C4-style repetition signals — top-unigram "
+    "and top-bigram fraction per document plus the composite "
+    "'repetitive' gate (>0.3 / >0.2 thresholds, applied only at "
+    "n_tokens >= 5 — fraction thresholds are meaningless on tiny "
+    "docs, the Gopher length-floor convention).  Boilerplate- and "
+    "template-spam detection: the single strongest cheap filter for "
+    "web-scale corpora after exact dedup.  Shape: explode -> two-level "
+    "hash agg, both keyed by (doc_id, gram) then doc_id — partial "
+    "combine collapses within-doc repeats map-side, so the shuffle "
+    "carries at most the distinct grams per doc; no windows, no "
+    "driver state.  Blank docs keep n_tokens=0 with NULL fractions "
+    "(token_count parity)",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nonblank = docs.filter(F.trim("text") != "")
+    tok = nonblank.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    us = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top_uni"))
+    )
+    bg = (
+        nonblank.withColumn("__t", tokens("text"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> concat(__t[i], ' ', __t[i+1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bs = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top_bi"))
+    )
+    from nyc_taxi_data_clickhouse_spark.operators.text import token_count
+
+    n = F.col("n_tokens")
+    uni_frac = F.col("__top_uni") / n
+    bi_frac = F.col("__top_bi") / (n - 1)
+    return (
+        docs.select("doc_id", token_count("text").alias("n_tokens"))
+        .join(us, "doc_id", "left")
+        .join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(uni_frac, 6).alias("top_unigram_frac"),
+            F.round(bi_frac, 6).alias("top_bigram_frac"),
+            (
+                (n >= 5)
+                & (
+                    F.coalesce(uni_frac > 0.3, F.lit(False))
+                    | F.coalesce(bi_frac > 0.2, F.lit(False))
+                )
+            ).alias("repetitive"),
+        )
+    )

@@ -187,6 +187,38 @@ def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
 # text edge cases
 # ---------------------------------------------------------------------------
 
+def test_text_repetition_planted_cases(spark):
+    """Gopher/C4 repetition signals on planted docs: a spam doc whose
+    top bigram dominates must flag repetitive; diverse text must not;
+    blank and single-token docs keep NULL fractions and don't flag."""
+    from nyc_taxi_data_clickhouse_spark.operators.analysis import text_repetition
+    import tempfile
+    from pathlib import Path
+
+    rows = [
+        (1, "buy now " * 10),                    # top bigram 'buy now' dominates
+        (2, "one two three four five six"),      # diverse
+        (3, ""),                                  # blank
+        (4, "word"),                              # single token
+        (5, "spam spam spam spam ok"),            # top unigram 4/5 > 0.3
+    ]
+    d = tempfile.mkdtemp(prefix="rep_test_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(Path(d) / "documents.parquet"))
+    got = {r["doc_id"]: r for r in text_repetition(spark, d).collect()}
+
+    assert got[1]["repetitive"] and got[1]["top_bigram_frac"] > 0.5
+    assert not got[2]["repetitive"]
+    assert got[3]["n_tokens"] == 0 and got[3]["top_unigram_frac"] is None
+    assert got[4]["n_tokens"] == 1 and got[4]["top_bigram_frac"] is None
+    assert not got[4]["repetitive"]
+    assert got[5]["repetitive"] and got[5]["top_unigram_frac"] == 0.8
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_vowel_ratio_udf_empty_text_is_null(spark):
     """Empty text -> NULL (not 0.0), matching the SQL oracle's
     nullif(length, 0) divide — the fixture corpus has no empty docs so
