@@ -69,6 +69,8 @@ DEFAULT_QUERIES = [
     "scd2_dimension",
     "regression_agg",
     "pandas_udf_vectorized",
+    "near_dup_components_star",
+    "text_repetition",
 ]
 
 
