@@ -1,0 +1,293 @@
+"""Cross-corpus curation operators (SURVEY §7 extension scope).
+
+Round-2 additions beyond the per-document signals in text.py /
+analysis.py: the operations that look ACROSS documents or ACROSS
+corpus snapshots — incremental dedup against an existing corpus,
+cross-document boilerplate detection, stratified rebalancing,
+character-entropy quality scoring — plus two engine-surface gaps
+(explicit salted skew join, cogrouped applyInPandas).
+
+All entries are driver-oracle-gated (exact SQL twin in DuckDB).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.dedup import (
+    normalize_text,
+    shingles_from_tokens,
+)
+from nyc_taxi_data_clickhouse_spark.operators.text import tokens
+from nyc_taxi_data_clickhouse_spark.plans.scale import salted_join
+from nyc_taxi_data_clickhouse_spark.suite import load_events, load_table, register
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH corpus AS (
+      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id % 5 <> 4),
+    batch AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id % 5 = 4)
+    SELECT b.doc_id, b.lang FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = b.norm)
+    """,
+    doc="§7 dedup: INCREMENTAL cross-corpus dedup — a new ingest batch "
+    "(every 5th doc here) is admitted only if its normalized text is "
+    "absent from the existing corpus.  The streaming-ingest shape of "
+    "exact dedup: at 100 TB the corpus side is a pre-materialized "
+    "fingerprint table (128-bit md5 of the normalized text — 16 bytes "
+    "shuffled per doc instead of the full text; collision odds "
+    "~n²/2^129, safe at any corpus size, unlike 64-bit keys which "
+    "expect collisions past ~10^9 docs), the batch side left-anti "
+    "joins against it, and only NEW fingerprints append back — the "
+    "corpus is never rescanned.  A bloom filter over the fingerprint "
+    "column prunes the probe further when the corpus side is cold "
+    "storage.  One anti-join shuffle on the 16-byte key; no windows",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text("text")).alias("__fp")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4).select(fp)
+    batch = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "lang", fp)
+    return batch.join(corpus, "__fp", "left_anti").select("doc_id", "lang")
+
+
+@register(
+    "boilerplate_ngram_df",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM sh JOIN df USING (s) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+           round(pd.n_shared * 1.0 / pd.n_grams, 4) AS shared_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="§7 quality: cross-document boilerplate detection — per doc, "
+    "the fraction of its distinct 3-grams that also occur in at least "
+    "one OTHER document (document frequency >= 2).  The complement of "
+    "text_repetition (within-doc): high shared_frac means template/"
+    "chrome text duplicated across the corpus, the Dolma/CCNet "
+    "paragraph-df signal at n-gram grain.  Shape: distinct-shingle "
+    "explode -> df hash-agg keyed by the shingle -> join back -> "
+    "per-doc agg.  The df table is the same artifact the "
+    "cap_shingle_df skew guard computes, so a production pipeline "
+    "derives both from ONE pass; the join back is shingle-keyed with "
+    "map-side partial combine absorbing hot grams.  Shingle keys "
+    "shuffle as xxhash64 longs at scale (collision-tolerant here: a "
+    "collision only perturbs a df count), strings in this entry so "
+    "the oracle is engine-portable.  Docs under 3 tokens keep "
+    "n_grams=0 with NULL fraction",
+)
+def boilerplate_ngram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("__t")).filter(
+        F.size("__t") >= 3
+    )
+    sh = base.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__t"), 3)).alias("__s")
+    )
+    df = sh.groupBy("__s").agg(F.count("*").alias("__c"))
+    per_doc = (
+        sh.join(df, "__s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("__c") >= 2).cast("long")).alias("__n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.col("__n_shared") / F.col("n_grams"), 4).alias("shared_frac"),
+        )
+    )
+
+
+# per-lang keep rates out of 100: rebalance an en-heavy corpus by
+# downsampling en to 40% and fr to 75%, keeping the rest whole
+_STRATA_RATES = {"en": 40, "fr": 75}
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH t AS (
+      SELECT lang,
+             ((doc_id % 1000003) * 2654435761) % 100 AS bucket,
+             CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 75 ELSE 100 END AS rate
+      FROM documents)
+    SELECT lang, count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM t GROUP BY lang
+    """,
+    doc="§7 sampling: deterministic stratified downsampling — per-"
+    "stratum keep rates (en 40%, fr 75%, rest 100%) applied by "
+    "thresholding the same Knuth-multiplicative doc-id hash "
+    "train_val_test_split uses, so membership is reproducible across "
+    "runs/engines/partitionings and stable under corpus growth "
+    "(adding docs never flips an existing doc's fate — unlike "
+    "df.sampleBy, whose per-row rand() depends on partition layout). "
+    "Pure map-side arithmetic + one summarizing hash-agg; at 100 TB "
+    "the filter is a scan predicate and the kept set never "
+    "materializes separately",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
+    rate = F.lit(100)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum((bucket < rate).cast("long")).alias("n_kept"),
+    )
+
+
+@register(
+    "char_entropy",
+    """
+    WITH cc AS (
+      SELECT doc_id, c, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE length(text) > 0)
+      GROUP BY doc_id, c),
+    ent AS (
+      SELECT doc_id,
+             round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+      FROM cc GROUP BY doc_id)
+    SELECT d.doc_id, ent.entropy
+    FROM documents d LEFT JOIN ent USING (doc_id)
+    """,
+    doc="§7 quality: character-level Shannon entropy per document "
+    "(nats) — the classic cheap gibberish/encoded-blob detector: "
+    "natural text sits ~2.5-4.5, base64 and hex dumps score high, "
+    "single-char spam scores ~0.  Computed as ln(n) - sum(c*ln(c))/n "
+    "over per-(doc, char) counts: explode -> two-level hash agg keyed "
+    "(doc_id, char) then doc_id; partial combine collapses repeats "
+    "map-side so the shuffle carries at most |alphabet| rows per doc. "
+    "Empty docs keep a NULL entropy via the left join",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    ent = cc.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 4
+        ).alias("entropy")
+    )
+    return docs.select("doc_id").join(ent, "doc_id", "left")
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="§2.3 scale: EXPLICIT salted equi-join — the fact side gets a "
+    "uniform salt in [0,16), the dim side is replicated once per salt "
+    "value, and the join key becomes (key, salt), spreading a hot "
+    "key's rows over 16 reducers instead of one.  Result is provably "
+    "identical to the unsalted inner join (the oracle IS the unsalted "
+    "join).  This is the manual fallback for the skew AQE cannot fix: "
+    "AQE skew-join only splits SORT-MERGE partitions after a "
+    "map-stage, not the build side of a broadcast join or a "
+    "pre-shuffle partial agg; salting also composes with bucketed "
+    "layouts where AQE re-planning is off.  Cost model: dim side "
+    "inflates x16 — correct when |dim| << |fact| (here 16x customer "
+    "vs an order-per-customer fan-out; at 100 TB salt only the "
+    "quantile-detected hot keys, not every key, and keep the "
+    "long-tail join unsalted)",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "o_custkey", salt_buckets=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "cogroup_orders_events",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS order_total
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT user_id AS custkey, count(*) AS n_events,
+             round(sum(value), 2) AS event_value
+      FROM events GROUP BY 1)
+    SELECT coalesce(o.custkey, e.custkey) AS custkey,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(order_total, 0.0) AS order_total,
+           coalesce(event_value, 0.0) AS event_value
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    """,
+    doc="§2.10 API surface: cogrouped applyInPandas — orders and "
+    "events cogrouped on the customer key, each group pair handed to "
+    "one pandas function (the merge-two-sorted-sides primitive behind "
+    "custom as-of joins, per-entity reconciliation, feature stitching "
+    "when neither side alone is enough).  Oracle is the relational "
+    "twin: full-outer join of the two per-key aggregates.  Same "
+    "grouped-map scale contract as apply_in_pandas_zscore: both "
+    "groups for one key materialize in a single Python worker, so "
+    "keys must be bounded (per-customer rows here; pre-aggregate or "
+    "bucket first when a key can be huge).  Arrow-batched transfer; "
+    "one shuffle per side on the common key",
+)
+def cogroup_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    events = load_events(spark, sf_dir).select("user_id", "value")
+
+    def stitch(key: tuple, o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(o)],
+                "n_events": [len(e)],
+                "order_total": [round(float(o["o_totalprice"].sum()), 2)],
+                "event_value": [round(float(e["value"].sum()), 2)],
+            }
+        )
+
+    return orders.groupBy("o_custkey").cogroup(
+        events.groupBy("user_id")
+    ).applyInPandas(
+        stitch,
+        schema="custkey long, n_orders long, n_events long, "
+        "order_total double, event_value double",
+    )

@@ -134,3 +134,36 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="§2.9: streaming deduplication — dropDuplicates on "
+    "(user_id, event_type) over the event stream keeps the FIRST "
+    "arrival per key and suppresses every later one; the drained "
+    "dedup stream aggregated per type must equal the batch "
+    "count(DISTINCT user_id).  Run here without a watermark so the "
+    "dedup state is exact over the bounded drain; in production add "
+    "withWatermark + dropDuplicatesWithinWatermark so state for keys "
+    "older than the watermark is evicted (bounded memory), accepting "
+    "that a duplicate arriving later than the lateness bound "
+    "re-emits.  State store keyed by the dedup tuple; one shuffle on "
+    "the key, append-mode pass-through of survivors",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    survivors = run_to_completion(deduped, name, output_mode="append")
+    return survivors.groupBy("event_type").agg(
+        F.count("*").alias("n_users")
+    )
