@@ -291,3 +291,97 @@ def cogroup_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="custkey long, n_orders long, n_events long, "
         "order_total double, event_value double",
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST(datediff('day', cw, aw) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: users bucketed by first-seen ISO "
+    "week, per (cohort, week-offset) distinct-active counts — the "
+    "standard product-analytics triangle.  Shape: per-user min-ts agg "
+    "(first touch), distinct (user, week) activity projection, one "
+    "user-keyed join, then the matrix agg — the join carries one row "
+    "per active user-week, never raw events.  Both week truncations "
+    "are ISO Monday-start in Spark and DuckDB, and offsets are exact "
+    "multiples of 7 days, so the integer division is exact.  At 100 "
+    "TB the first-seen table is the thing to materialize "
+    "incrementally (min is mergeable) rather than recompute",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("__aw")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.to_date("__cw").alias("cohort_week"),
+            (F.datediff(F.to_date("__aw"), F.to_date("__cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "embedding_kmeans_clusters",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           TRUE AS all_assigned, TRUE AS multi_cluster
+    FROM embeddings
+    """,
+    doc="§7 corpus organization: KMeans document clustering over the "
+    "embedding column (k=8, fixed seed) — the topic-bucketing / "
+    "diversity-sampling step of a training-data pipeline (cluster "
+    "then sample per cluster to rebalance domains).  Entry reports "
+    "driver-checkable invariants Spark-side (every point assigned to "
+    "exactly one cluster; more than one cluster non-empty), the "
+    "_recall_report pattern for ML ops whose exact output is "
+    "seed-dependent; the inertia bound (WCSS strictly below the "
+    "k=1 total sum of squares) is pytest-asserted.  Scale shape: "
+    "Spark ML KMeans is the distributed fit (per-partition partial "
+    "sums per iteration); assignment is one model.transform "
+    "projection, no shuffle beyond the fit itself",
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "__features"
+        ),
+    )
+    km = KMeans(k=8, seed=42, featuresCol="__features", predictionCol="__cluster")
+    assigned = km.fit(feat).transform(feat)
+    sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("__n"))
+    total = emb.agg(F.count("*").alias("__total"))
+    return (
+        sizes.agg(
+            F.sum("__n").alias("__assigned"),
+            F.count("*").alias("__k_used"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__total").alias("n_points"),
+            (F.col("__assigned") == F.col("__total")).alias("all_assigned"),
+            (F.col("__k_used") >= 2).alias("multi_cluster"),
+        )
+    )
