@@ -6,23 +6,28 @@ N repeats, mean±std) with Spark-specific hygiene: JVM/codegen warm-up
 runs excluded from steady-state stats, caches cleared between queries,
 results forced with a noop sink (no driver collect).
 
-Prints ONE JSON line:
-  {"metric": "suite_mean_sec", "value": N, "unit": "sec",
-   "queries": {...per-query mean sec...}, "sf": 0.1}
+Output contract (VERDICT r2 #1 — the round-2 one-line result overflowed
+the driver's ~2 KB tail capture and shipped as ``parsed: null``):
+
+- The LAST stdout line is a COMPACT headline JSON — suite mean, per-query
+  means, and the single rows/s/core scan figure; no stds, no scan detail.
+  It stays well under the driver's tail buffer.
+- The FULL payload (stds, scan section with best/median/trimmed/spread)
+  is written to ``BENCH_local_r{N}.json`` at the repo root and committed
+  with the round, so the evidence survives regardless of tail size.
+
+Execution order: the scan-bound section runs FIRST, in its OWN JVM
+(``python -m nyc_taxi_data_clickhouse_spark.scan_bench`` subprocess), so
+its numbers are never polluted by the query suite's accumulated heap
+(VERDICT r2 #4); then the 29-query suite runs in this process.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BENCH_REPEATS (default 3),
-     BENCH_QUERIES (comma-list override).
-
-The output also carries a scan-bound section ("scan" key +
-top-level "rows_per_sec_per_core"): the reference's four benchmark
-shapes plus TPC-H Q1/Q6 run against a factor-replicated lineitem
-(default ×100 → 60 M rows at sf0.1, materialized once under
-.scan_bench/ and reused), giving a per-core scan throughput that is
-comparable to BASELINE.md's 1.1 B-row numbers instead of being
-dominated by the ~0.2-0.3 s scheduler floor.  Knobs: BENCH_SCAN=0
-disables, BENCH_SCAN_FACTOR (default 100), BENCH_SCAN_REPEATS
-(default max(BENCH_REPEATS, 5)), BENCH_SCAN_DIR.
+     BENCH_QUERIES (comma-list override), BENCH_ROUND (round number for
+     the local payload filename; default = max existing BENCH_r*.json
+     round + 1), BENCH_SCAN=0 disables the scan section,
+     BENCH_SCAN_FACTOR (default 100), BENCH_SCAN_REPEATS (default
+     max(BENCH_REPEATS, 7)), BENCH_SCAN_DIR.
 """
 
 from __future__ import annotations
@@ -107,64 +112,64 @@ def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
     }
 
 
-def bench_scan(spark, sf_dir: str, cpus: int, repeats: int) -> dict:
-    """Scan-bound measurement (VERDICT r1 #5): run the reference's
-    benchmark shapes on a factor-replicated lineitem so the per-core
-    scan throughput — not the scheduler floor — is what's measured.
-    Returns a dict for the "scan" key of the output JSON."""
-    factor = scan_bench.scan_factor()
-    scratch = os.environ.get(
-        "BENCH_SCAN_DIR", str(Path(__file__).resolve().parent / ".scan_bench")
+def bench_scan_subprocess() -> dict | None:
+    """Run the scan-bound section in its own JVM (fresh heap, no suite
+    garbage) and parse the payload from its last stdout line."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "nyc_taxi_data_clickhouse_spark.scan_bench"],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).resolve().parent),
     )
-    path, rows = scan_bench.materialize_big_lineitem(spark, sf_dir, factor, scratch)
-    li = spark.read.parquet(path)
-    # best-of-N for the throughput figure: the timed runs land on a
-    # shared host whose background load injects multi-second outliers
-    # (observed bimodal 1-3 s vs 15-50 s on identical plans); min is
-    # the machine-capability number, median/spread are reported so the
-    # noise is visible rather than hidden
-    scan_repeats = int(os.environ.get("BENCH_SCAN_REPEATS", str(max(repeats, 5))))
-    best: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    throughput: dict[str, float] = {}
-    for name, shape in scan_bench.SCAN_SHAPES.items():
-        times = []
-        for i in range(1 + scan_repeats):  # 1 warmup
-            quiesce(spark)
-            t0 = time.perf_counter()
-            force(shape(li))
-            elapsed = time.perf_counter() - t0
-            if i >= 1:
-                times.append(elapsed)
-        best[name] = round(min(times), 4)
-        medians[name] = round(statistics.median(times), 4)
-        spreads[name] = round(max(times) - min(times), 4)
-        throughput[name] = round(rows / min(times) / cpus, 1)
-    return {
-        "rows": rows,
-        "factor": factor,
-        "repeats": scan_repeats,
-        "query_best_sec": best,
-        "query_median_sec": medians,
-        "query_spread_sec": spreads,
-        "rows_per_sec_per_core": throughput,
-    }
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(
+        f"scan bench subprocess failed (rc={proc.returncode}): "
+        f"{proc.stderr.strip()[-500:]}",
+        file=sys.stderr,
+    )
+    return None
+
+
+def next_round() -> int:
+    """Round number for the local payload filename: env override, else
+    one past the newest driver-recorded BENCH_r{N}.json."""
+    if "BENCH_ROUND" in os.environ:
+        return int(os.environ["BENCH_ROUND"])
+    import re
+
+    rounds = [0]
+    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    names = [
-        n for n in os.environ.get("BENCH_QUERIES", ",".join(DEFAULT_QUERIES)).split(",")
-        if n in suite.registry()
-    ]
     try:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0
 
+    # scan section first, in an isolated JVM, before this process's
+    # Spark session exists — cleanest possible measurement environment
+    scan = bench_scan_subprocess() if scan_bench.scan_enabled() else None
+
+    names = [
+        n for n in os.environ.get("BENCH_QUERIES", ",".join(DEFAULT_QUERIES)).split(",")
+        if n in suite.registry()
+    ]
     spark = get_spark(app_name=f"bench-{Path(sf_dir).name}", master=f"local[{cpus}]")
     per_query: dict[str, float] = {}
     stds: dict[str, float] = {}
@@ -173,25 +178,29 @@ def main() -> None:
         per_query[name] = round(r["mean"], 4)
         stds[name] = round(r["std"], 4)
 
-    out = {
+    headline = {
         "metric": "suite_mean_sec",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
-        "stds": stds,
         "sf": sf,
         "repeats": repeats,
         "cpus": int(cpus),
     }
-    if scan_bench.scan_enabled():
-        scan = bench_scan(spark, sf_dir, int(cpus), repeats)
-        out["scan"] = scan
+    full = dict(headline, stds=stds)
+    if scan is not None:
+        full["scan"] = scan
         # headline per-core scan throughput: median across the six
         # scan-bound reference shapes (rows/s/core, machine-comparable)
-        out["rows_per_sec_per_core"] = statistics.median(
-            scan["rows_per_sec_per_core"].values()
+        headline["rows_per_sec_per_core"] = full["rows_per_sec_per_core"] = round(
+            statistics.median(scan["rows_per_sec_per_core"].values()), 1
         )
-    print(json.dumps(out))
+
+    local_path = Path(__file__).resolve().parent / f"BENCH_local_r{next_round():02d}.json"
+    local_path.write_text(json.dumps(full, indent=2) + "\n")
+    print(f"full payload -> {local_path.name}", file=sys.stderr)
+    # compact headline LAST on stdout — must fit the driver's tail buffer
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -20,20 +20,34 @@ from pathlib import Path
 
 
 def load_rounds(d: str) -> list[tuple[int, dict]]:
-    rounds = []
+    by_round: dict[int, dict] = {}
     for f in glob.glob(f"{d}/BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if not m:
             continue
         try:
-            d = json.loads(Path(f).read_text())
+            data = json.loads(Path(f).read_text())
         except (json.JSONDecodeError, OSError):
             continue
         # the driver wraps the bench line in {"n","rc","tail","parsed",...}
-        if "parsed" in d and isinstance(d["parsed"], dict):
-            d = d["parsed"]
-        rounds.append((int(m.group(1)), d))
-    return sorted(rounds)
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        if "queries" in data:
+            by_round[int(m.group(1))] = data
+    # the committed full payloads (BENCH_local_r{N}.json) carry the same
+    # schema plus stds/scan detail and survive driver tail truncation —
+    # prefer them when present
+    for f in glob.glob(f"{d}/BENCH_local_r*.json"):
+        m = re.search(r"BENCH_local_r(\d+)\.json$", f)
+        if not m:
+            continue
+        try:
+            data = json.loads(Path(f).read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        if "queries" in data:
+            by_round[int(m.group(1))] = data
+    return sorted(by_round.items())
 
 
 def render(rounds: list[tuple[int, dict]]) -> str:

@@ -49,16 +49,21 @@ def analyze_tables(spark: SparkSession, tables: list[str]) -> None:
 def table_row_counts(
     spark: SparkSession,
     exclude_prefixes: tuple[str, ...] = (),
-    use_stats: bool = True,
+    use_stats: bool = False,
 ) -> DataFrame:
     """Row counts for every catalog table, largest first — the
     ``relname / to_char(reltuples)`` report of README.md:271-278
     (P4's NOT-IN namespace filter becomes the prefix exclusion).
 
-    With ``use_stats`` (default), tables that carry catalog statistics
-    (after ``analyze_tables``) are answered from metadata like the
-    reference's ``reltuples``; only stat-less tables pay a scan.
-    ``use_stats=False`` forces exact scans everywhere.
+    Default is exact ``count()`` scans.  With ``use_stats=True``,
+    tables that carry catalog statistics (after ``analyze_tables``)
+    are answered from metadata like the reference's ``reltuples`` —
+    but unlike Postgres there is no autovacuum analog: Spark does NOT
+    refresh statistics after inserts/appends, so the stats path
+    reports counts as of the last ``analyze_tables`` call.  Callers
+    opting in must re-analyze after mutations (the monitoring-loop
+    pattern: ANALYZE after each ingest batch, then metadata-only
+    reads between batches).
     """
     names = [
         t.name

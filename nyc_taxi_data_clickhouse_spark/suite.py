@@ -69,7 +69,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def _driver_verified_names() -> set[str]:
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _driver_verified_names() -> frozenset[str]:
     """Entry names already rows+schema+hash-verified by the driver in a
     previous round (CORRECTNESS_r*.json at the repo root).
 
@@ -78,6 +82,12 @@ def _driver_verified_names() -> set[str]:
     not-yet-verified entries to the front: over successive rounds every
     entry lands inside the window.  An entry that appeared but failed
     (or had no oracle) does NOT count as verified — it keeps priority.
+
+    Cached per process (the report files don't change mid-run).  Note
+    the deliberate ordering dependency: registry order differs between
+    checkouts with different CORRECTNESS_r*.json sets — consumers that
+    need a checkout-independent order (docs, parametrized test IDs)
+    should sort by name themselves.
     """
     import glob
     import json
@@ -98,7 +108,7 @@ def _driver_verified_names() -> set[str]:
                 and row.get("hash_match")
             ):
                 verified.add(name)
-    return verified
+    return frozenset(verified)
 
 
 def registry() -> dict[str, QuerySpec]:

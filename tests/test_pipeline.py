@@ -135,13 +135,30 @@ def test_catalog_counts_from_statistics_and_pretty(spark, trips_staging):
 
         stats_rows = {
             r["table_name"]: r["row_count"]
-            for r in cat.table_row_counts(spark).collect()
+            for r in cat.table_row_counts(spark, use_stats=True).collect()
         }
         exact_rows = {
             r["table_name"]: r["row_count"]
-            for r in cat.table_row_counts(spark, use_stats=False).collect()
+            for r in cat.table_row_counts(spark).collect()
         }
         assert stats_rows["rc_stats_probe"] == exact_rows["rc_stats_probe"] == 1234
+
+        # ADVICE r2: Spark has no autovacuum analog — after an append,
+        # the stats path reports the LAST-ANALYZE count (stale) while
+        # the exact-scan default sees the new rows; re-ANALYZE heals it.
+        spark.range(10).write.mode("append").saveAsTable("rc_stats_probe")
+        stale = {
+            r["table_name"]: r["row_count"]
+            for r in cat.table_row_counts(spark, use_stats=True).collect()
+        }
+        fresh = {
+            r["table_name"]: r["row_count"]
+            for r in cat.table_row_counts(spark).collect()
+        }
+        assert stale["rc_stats_probe"] == 1234
+        assert fresh["rc_stats_probe"] == 1244
+        cat.analyze_tables(spark, ["rc_stats_probe"])
+        assert cat._stats_row_count(spark, "rc_stats_probe") == 1244
 
         pretty = {
             r["table_name"]: r["row_count_pretty"]
