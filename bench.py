@@ -117,12 +117,17 @@ def bench_scan_subprocess() -> dict | None:
     garbage) and parse the payload from its last stdout line."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, "-m", "nyc_taxi_data_clickhouse_spark.scan_bench"],
-        capture_output=True,
-        text=True,
-        cwd=str(Path(__file__).resolve().parent),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "nyc_taxi_data_clickhouse_spark.scan_bench"],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parent),
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        print("scan bench subprocess timed out after 3600s", file=sys.stderr)
+        return None
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -139,18 +144,32 @@ def bench_scan_subprocess() -> dict | None:
 
 
 def next_round() -> int:
-    """Round number for the local payload filename: env override, else
-    one past the newest driver-recorded BENCH_r{N}.json."""
+    """Round number for the local payload filename: env override first.
+    Otherwise the CURRENT round is one past the newest driver-recorded
+    BENCH_r{N}.json — and a local payload for that round may already
+    exist (re-running bench.py mid-round overwrites it rather than
+    minting a phantom future round).  Concretely:
+    round = max(BENCH_r* rounds) + 1, unless a BENCH_local_r{M}.json
+    with M >= that value exists, in which case reuse M (overwrite)."""
     if "BENCH_ROUND" in os.environ:
         return int(os.environ["BENCH_ROUND"])
     import re
 
-    rounds = [0]
-    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
-        m = re.match(r"BENCH_r(\d+)\.json$", p.name)
-        if m:
-            rounds.append(int(m.group(1)))
-    return max(rounds) + 1
+    here = Path(__file__).resolve().parent
+
+    def rounds_of(pattern: str, regex: str) -> list[int]:
+        out = []
+        for p in here.glob(pattern):
+            m = re.match(regex, p.name)
+            if m:
+                out.append(int(m.group(1)))
+        return out
+
+    driver = rounds_of("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
+    current = max(driver, default=0) + 1
+    local = rounds_of("BENCH_local_r*.json", r"BENCH_local_r(\d+)\.json$")
+    ahead = [m for m in local if m >= current]
+    return max(ahead) if ahead else current
 
 
 def main() -> None:

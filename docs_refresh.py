@@ -93,6 +93,23 @@ def main() -> None:
         ],
         args.check,
     )
+    n_rows_only = n_entries - n_oracle
+    drift |= rewrite(
+        ROOT / "COVERAGE.md",
+        [
+            (
+                r"\(all \d+\s*\nentries are oracle-gated as of round \d+\)",
+                f"({n_oracle} of the {n_entries}\nentries are oracle-gated"
+                f", {n_rows_only} rows-only, as of this refresh)",
+            ),
+            (
+                r"\(\d+ of the \d+\s*\nentries are oracle-gated, \d+ rows-only, as of this refresh\)",
+                f"({n_oracle} of the {n_entries}\nentries are oracle-gated"
+                f", {n_rows_only} rows-only, as of this refresh)",
+            ),
+        ],
+        args.check,
+    )
     if args.check and drift:
         print("drift detected (counts in docs are stale)")
         sys.exit(1)

@@ -10,9 +10,12 @@ pure-stdlib parser can handle:
   comment handling, maxval <= 255.
 - **BMP**: ``BITMAPFILEHEADER`` + ``BITMAPINFOHEADER`` via ``struct``;
   uncompressed 24-bpp, bottom-up or top-down rows, 4-byte row padding.
+- **PNG**: chunk walk + ``zlib`` inflate + all 5 scanline filters
+  (None/Sub/Up/Average/Paeth); non-interlaced 8-bit gray / gray+alpha
+  / RGB / RGBA (palette and 16-bit raise).
 - **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count).
 
-Formats that need external codec libraries (JPEG/PNG/MP4/...) are NOT
+Formats that need external codec libraries (JPEG/MP4/...) are NOT
 decoded: ``decode_media`` raises ``NotImplementedError`` for them
 unless ``fake=True``, which substitutes a deterministic hash-derived
 feature vector with the exact shape a real decoder would emit.
@@ -172,6 +175,87 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
                 pixels.extend((r, g, b))
         return width, height, 3, pixels
 
+    def _parse_png(payload):
+        # Pure-stdlib PNG: chunk walk + zlib inflate + the 5 scanline
+        # filters (None/Sub/Up/Average/Paeth).  Non-interlaced 8-bit
+        # gray / gray+alpha / RGB / RGBA; palette and 16-bit raise.
+        import zlib as _zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("bad PNG signature")
+        pos = 8
+        width = height = bitdepth = colortype = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = _struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc32
+            if ctype == b"IHDR":
+                (
+                    width,
+                    height,
+                    bitdepth,
+                    colortype,
+                    _comp,
+                    _filt,
+                    interlace,
+                ) = _struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        if bitdepth != 8:
+            raise ValueError(f"PNG bit depth {bitdepth} unsupported (8 only)")
+        if interlace != 0:
+            raise ValueError("interlaced PNG unsupported")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+        if channels is None:
+            raise ValueError(f"PNG color type {colortype} unsupported")
+        raw = _zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data truncated")
+        recon = bytearray()
+        prev = bytearray(stride)
+        p = 0
+        for _y in range(height):
+            f = raw[p]
+            p += 1
+            line = bytearray(raw[p : p + stride])
+            p += stride
+            if f == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"unknown PNG filter type {f}")
+            recon.extend(line)
+            prev = line
+        return width, height, channels, list(recon)
+
     def _parse_wav(payload):
         with _wave.open(_io.BytesIO(payload), "rb") as w:
             nchan = w.getnchannels()
@@ -203,8 +287,14 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             "samples": None,
         }
         head = payload[:12]
-        if head[:2] in (b"P6", b"P5") or head[:2] == b"BM":
-            if head[:2] == b"BM":
+        if (
+            head[:2] in (b"P6", b"P5")
+            or head[:2] == b"BM"
+            or head[:8] == b"\x89PNG\r\n\x1a\n"
+        ):
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, c, pixels = _parse_png(payload)
+            elif head[:2] == b"BM":
                 w, h, c, pixels = _parse_bmp(payload)
             else:
                 w, h, c, pixels = _parse_netpbm(payload)
@@ -242,8 +332,9 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
         else:
             raise NotImplementedError(
                 f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
-                "supported: netpbm P5/P6, 24-bpp BMP, PCM WAV — or run "
-                "with fake=True for a deterministic stand-in feature"
+                "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, PCM "
+                "WAV — or run with fake=True for a deterministic "
+                "stand-in feature"
             )
         return out
 
@@ -351,20 +442,28 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       ``(id%256, id*7%256, id*13%256)`` — so n_bytes, geometry and
       pixel_sum are exact integer functions of the id an external SQL
       oracle can reproduce.
+    - ``png``: 8-bit PNG, same ``(4 + id%5) x (3 + id%7)`` geometry,
+      channels ``[1, 3, 4][id%3]`` (gray/RGB/RGBA), every channel of
+      pixel ``(x, y)`` equal to ``id%100 + x + y`` (max 111 — never
+      wraps), and row ``y`` forward-filtered with type ``(id+y) % 5``
+      so ALL five PNG scanline filters round-trip.  Geometry, channels
+      and ``pixel_sum = channels * (w*h*(id%100) + h*w*(w-1)/2 +
+      w*h*(h-1)/2)`` stay closed-form in the id (n_bytes is not:
+      deflate length isn't SQL-expressible).
     - ``audio``: mono 16-bit 16 kHz WAV, ``200 + id%50`` samples, all
       equal to ``100 + id%900``.
 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "audio"):
+    if modality not in ("image", "png", "audio"):
         raise ValueError(f"unknown modality {modality!r}")
-    want_image = modality == "image"
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
         import struct as _struct
         import wave as _wave
+        import zlib as _zlib
 
         import pandas as _pd
 
@@ -372,6 +471,64 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             w, h = 4 + i % 5, 3 + i % 7
             px = bytes((i % 256, i * 7 % 256, i * 13 % 256))
             return b"P6\n%d %d\n255\n" % (w, h) + px * (w * h)
+
+        def _png(i):
+            w, h = 4 + i % 5, 3 + i % 7
+            c = (1, 3, 4)[i % 3]
+            colortype = {1: 0, 3: 2, 4: 6}[c]
+            base = i % 100  # + x + y <= 111: never wraps mod 256
+            stride = w * c
+
+            def paeth(a, b, cc):
+                pp = a + b - cc
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+                if pa <= pb and pa <= pc:
+                    return a
+                if pb <= pc:
+                    return b
+                return cc
+
+            raw = bytearray()
+            prev = bytearray(stride)
+            for y in range(h):
+                line = bytearray(
+                    (base + x + y) & 0xFF for x in range(w) for _ in range(c)
+                )
+                f = (i + y) % 5  # cycle all 5 filter types
+                filt = bytearray(stride)
+                for k in range(stride):
+                    a = line[k - c] if k >= c else 0
+                    if f == 0:
+                        pred = 0
+                    elif f == 1:
+                        pred = a
+                    elif f == 2:
+                        pred = prev[k]
+                    elif f == 3:
+                        pred = (a + prev[k]) >> 1
+                    else:
+                        cc = prev[k - c] if k >= c else 0
+                        pred = paeth(a, prev[k], cc)
+                    filt[k] = (line[k] - pred) & 0xFF
+                raw.append(f)
+                raw.extend(filt)
+                prev = line
+
+            def chunk(ctype, data):
+                body = ctype + data
+                return (
+                    _struct.pack(">I", len(data))
+                    + body
+                    + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
 
         def _wav(i):
             amp, n = 100 + i % 900, 200 + i % 50
@@ -383,7 +540,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 f.writeframes(_struct.pack("<h", amp) * n)
             return buf.getvalue()
 
-        build = _ppm if want_image else _wav
+        build = {"image": _ppm, "png": _png, "audio": _wav}[modality]
         for pdf in batches:
             ids = pdf["__id"]
             yield _pd.DataFrame(
@@ -481,6 +638,8 @@ def resize_images(
         import pandas as _pd
 
         def _nearest(pixels, iw, ih, c, ow, oh):
+            # output is always P6 RGB: drop alpha (c=4 RGBA / c=2
+            # gray+alpha), replicate gray (c=1/2) across RGB
             out = bytearray()
             for y in range(oh):
                 sy = y * ih // oh
@@ -488,7 +647,7 @@ def resize_images(
                     sx = x * iw // ow
                     base = (sy * iw + sx) * c
                     px = pixels[base : base + c]
-                    out.extend(px if c == 3 else px * 3)
+                    out.extend(px[:3] if c >= 3 else px[:1] * 3)
             return bytes(out)
 
         def _one(b, m, meta_ow, meta_oh):

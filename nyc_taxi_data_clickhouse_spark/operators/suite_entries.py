@@ -416,6 +416,49 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+             AS channels,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 7) AS BIGINT) AS n_pixels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                * ((4 + doc_id % 5) * (3 + doc_id % 7) * (doc_id % 100)
+                   + (3 + doc_id % 7) * ((4 + doc_id % 5) * (3 + doc_id % 5)) / 2
+                   + (4 + doc_id % 5) * ((3 + doc_id % 7) * (2 + doc_id % 7)) / 2)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL PNG decode — per-doc 8-bit PNGs "
+    "(gray/RGB/RGBA by id%3, gradient pixel id%100+x+y, every scanline "
+    "filter type 0-4 exercised via (id+y)%5 forward-filtering at "
+    "synthesis) are inflated with zlib and unfiltered by the stdlib "
+    "PNG parser inside mapInPandas; geometry, channels and the exact "
+    "closed-form pixel_sum = channels * (w*h*(id%100) + h*w(w-1)/2 + "
+    "w*h(h-1)/2) must match the oracle's integer arithmetic.  n_bytes "
+    "is excluded (deflate output length is not SQL-expressible).  "
+    "Scale shape: map-only mapInPandas, payload bytes never leave "
+    "their partition.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "png"), "payload", "image/png")
+    return featurize_media(media, fake=False).select(
+        "media_id", "width", "height", "channels", "n_pixels", "pixel_sum"
+    )
+
+
+@register(
     "multimodal_audio_decode",
     """
     SELECT doc_id AS media_id,
@@ -560,12 +603,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not cast-to-double: works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (NTZ — the native parquet us read — has no
+    # double cast)
     is_new = F.when(
         F.lag("ts").over(w).isNull()
-        | (
-            F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-            > 30 * 60
-        ),
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -2,9 +2,10 @@
 
 The reference monitors ingest progress with ``pg_stat_user_tables`` /
 ``pg_class ⋈ pg_namespace`` row-count queries (README.md:240, 271-278).
-Spark's catalog API replaces the system-table joins; counts come from
-catalog statistics when present (metadata-only, the analog of
-``pg_class.reltuples``) and fall back to exact ``count()`` scans.
+Spark's catalog API replaces the system-table joins; counts default to
+exact ``count()`` scans (always fresh), with opt-in ``use_stats=True``
+answering from catalog statistics when present (metadata-only, the
+analog of ``pg_class.reltuples`` — may lag reality until re-ANALYZE).
 """
 
 from __future__ import annotations

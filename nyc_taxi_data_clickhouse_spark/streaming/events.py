@@ -34,18 +34,48 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: event schema with microsecond timestamp (the parquet carries nanos;
-#: the stream reader gets the post-conversion shape)
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos from parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """Events schema with the given physical type for ``ts``."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: events schema once timestamps are normalized (what every downstream
+#: streaming transformation in this module consumes).  Event-time ops
+#: (withWatermark / window) require TIMESTAMP, not TIMESTAMP_NTZ, so the
+#: reader casts the file's NTZ micros to session-tz timestamps; with the
+#: session timezone at UTC (the engine default) the wall-clock values
+#: are identical to the batch read's NTZ values.
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """True when the parquet files under ``path`` store ``ts`` as
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects unless
+    read as a raw int64 via ``spark.sql.legacy.parquet.nanosAsLong``.
+    Any other timestamp resolution (us/ms) Spark reads natively."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return False
+    ts_type = pq.read_schema(files[0]).field("ts").type
+    return pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
 
 
 def read_events_stream(
@@ -54,22 +84,43 @@ def read_events_stream(
     """File-based streaming source over events parquet.
 
     ``maxFilesPerTrigger`` paces micro-batches for tests; Kafka in
-    production.  The nanos->timestamp conversion mirrors
-    suite.load_events.
+    production.  Mirrors suite.load_events: the parquet's ``ts`` may be
+    TIMESTAMP at ns resolution (read as raw int64 nanos, then converted)
+    or at us/ms resolution (read natively as TimestampType) — the file's
+    physical schema, not an assumption, decides which.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", max_files_per_trigger
-    )
     # the file stream source requires a DIRECTORY; accept a single
     # parquet file by streaming its parent dir with a glob filter
     import os
 
+    glob_filter = None
     if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob_filter = os.path.basename(path)
+
+    if _ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_schema(T.LongType())
+        convert = "nanos"
+    else:
+        # read the file's native NTZ micros, then cast to TIMESTAMP:
+        # event-time ops below need session-tz timestamps
+        schema = _events_schema(T.TimestampNTZType())
+        convert = "ntz"
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if convert == "nanos":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -363,6 +363,107 @@ def test_decode_bmp_golden():
     assert d["pixel_sum"] == 255 * 6
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    body = ctype + data
+    return (
+        struct.pack(">I", len(data))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def _png_payload(width, height, colortype, channels, rows) -> bytes:
+    """Assemble a PNG from pre-filtered scanlines (filter_type, bytes)."""
+    import struct
+    import zlib
+
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_golden_rgb():
+    """2x2 RGB PNG, filter 0 rows: pixels come back exactly."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    rows = [(0, [255, 0, 0, 0, 255, 0]), (0, [0, 0, 255, 10, 20, 30])]
+    d = decode_media(_png_payload(2, 2, 2, 3, rows), "image/png")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("image", 2, 2, 3)
+    assert d["pixels"] == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    assert d["pixel_sum"] == 255 * 3 + 60
+    assert len(d["feature"]) == 16
+
+
+def test_decode_png_all_filters():
+    """One row per filter type 0-4 on a gray gradient; the unfiltered
+    raster must equal the original wall-values.
+
+    Filtered bytes are hand-derived: row y has pixels (y, y+1, y+2, y+3)
+    so Sub deltas are 1s, Up deltas are 1s, Average/Paeth predictors are
+    exercised against both left and up neighbors."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    w = 4
+    want = [[y + x for x in range(w)] for y in range(5)]
+
+    def filt(y, ftype):
+        line = want[y]
+        prev = want[y - 1] if y > 0 else [0] * w
+        out = []
+        for k in range(w):
+            a = line[k - 1] if k > 0 else 0
+            b = prev[k]
+            c = prev[k - 1] if k > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[k] - pred) & 0xFF)
+        return out
+
+    rows = [(f, filt(y, f)) for y, f in enumerate([0, 1, 2, 3, 4])]
+    d = decode_media(_png_payload(w, 5, 0, 1, rows), "image/png")
+    assert (d["width"], d["height"], d["channels"]) == (4, 5, 1)
+    assert d["pixels"] == [v for row in want for v in row]
+
+
+def test_decode_png_rgba_and_unsupported():
+    import struct
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    # RGBA 1x1: all four bytes (incl. alpha) count toward pixel_sum
+    d = decode_media(_png_payload(1, 1, 6, 4, [(0, [10, 20, 30, 40])]), "image/png")
+    assert (d["channels"], d["pixel_sum"]) == (4, 100)
+
+    # palette (colortype 3) and 16-bit depth raise ValueError
+    with pytest.raises(ValueError):
+        decode_media(_png_payload(1, 1, 3, 1, [(0, [0])]), "image/png")
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_media(bad_depth, "image/png")
+
+
 def test_decode_wav_golden():
     import io
     import struct

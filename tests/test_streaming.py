@@ -70,9 +70,11 @@ def test_sessionize_stream_matches_batch_sessions(spark, stream):
 
     e = _batch_events(spark)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
+    # (cast-to-double does not exist for NTZ)
     is_new = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 30 * 60),
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     run = w.rowsBetween(W.unboundedPreceding, 0)
