@@ -98,11 +98,6 @@ def main() -> None:
         ROOT / "COVERAGE.md",
         [
             (
-                r"\(all \d+\s*\nentries are oracle-gated as of round \d+\)",
-                f"({n_oracle} of the {n_entries}\nentries are oracle-gated"
-                f", {n_rows_only} rows-only, as of this refresh)",
-            ),
-            (
                 r"\(\d+ of the \d+\s*\nentries are oracle-gated, \d+ rows-only, as of this refresh\)",
                 f"({n_oracle} of the {n_entries}\nentries are oracle-gated"
                 f", {n_rows_only} rows-only, as of this refresh)",

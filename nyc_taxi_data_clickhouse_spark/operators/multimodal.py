@@ -13,9 +13,16 @@ pure-stdlib parser can handle:
 - **PNG**: chunk walk + ``zlib`` inflate + all 5 scanline filters
   (None/Sub/Up/Average/Paeth); non-interlaced 8-bit gray / gray+alpha
   / RGB / RGBA (palette and 16-bit raise).
+- **JPEG**: full baseline sequential (ITU-T T.81) decoder — canonical
+  Huffman with byte unstuffing and restart markers, dequantize +
+  dezigzag + exact IDCT, arbitrary sampling factors (4:4:4 / 4:2:0 /
+  ...), grayscale and JFIF YCbCr->RGB — plus a spec-complete baseline
+  ENCODER (Annex K tables) used by :func:`synthesize_media` to build
+  oracle-exact fixtures (see :func:`_build_jpeg_codec`).  Progressive
+  (SOF2) and CMYK raise.
 - **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count).
 
-Formats that need external codec libraries (JPEG/MP4/...) are NOT
+Formats that need external codec libraries (MP4/video) are NOT
 decoded: ``decode_media`` raises ``NotImplementedError`` for them
 unless ``fake=True``, which substitutes a deterministic hash-derived
 feature vector with the exact shape a real decoder would emit.
@@ -85,6 +92,439 @@ def pack_media(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ),
     )
+
+
+def _build_jpeg_codec():
+    """Return ``(encode_jpeg, parse_jpeg)`` — a pure-stdlib baseline
+    JPEG (ITU-T T.81) codec pair, built as nested functions so
+    cloudpickle ships them BY VALUE (same worker-shipping contract as
+    :func:`_build_decoder`).
+
+    Scope — the full baseline sequential feature set:
+
+    - **decode**: DQT/DHT/SOF0/SOF1/SOS/DRI segment walk, canonical
+      Huffman decode with 0xFF00 unstuffing and RSTn handling,
+      dequantize + dezigzag, exact separable float IDCT, arbitrary
+      sampling factors (4:4:4, 4:2:0, ... via nearest upsample),
+      grayscale and YCbCr->RGB (JFIF rounding).  Progressive (SOF2)
+      and CMYK raise ``NotImplementedError``.
+    - **encode**: writes a spec-complete JFIF stream (Annex K
+      quantization + Huffman tables) from caller-supplied QUANTIZED
+      coefficient blocks — DC-diff magnitude coding, AC run-length
+      with ZRL/EOB, byte stuffing, optional restart intervals.  Taking
+      quantized coefficients keeps the encoder exact: the synthesizer
+      below picks coefficients whose decode is closed-form in the id,
+      so the lossy format round-trips bit-exactly for the oracle.
+    """
+    import struct as _struct
+
+    # ---- constant tables (ITU-T T.81 Annex K) ---------------------------
+    ZZ = [  # natural-order index of each zigzag position
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    QUANT_LUMA = [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    QUANT_CHROMA = [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+    DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+    DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+    AC_LUMA = (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+         0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+         0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+         0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+         0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+         0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+         0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+         0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+         0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+         0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+         0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+         0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+         0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+    )
+    AC_CHROMA = (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+         0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+         0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+         0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+         0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+         0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+         0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+         0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+         0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+         0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+         0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+         0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+         0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+    )
+
+    import math as _math
+
+    COS = [[_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
+           for x in range(8)]
+    C = [1 / _math.sqrt(2)] + [1.0] * 7
+
+    def _canonical_codes(bits, vals):
+        """(value -> (length, code)) per T.81 C.2 canonical assignment."""
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    # ---- encoder --------------------------------------------------------
+    def encode_jpeg(width, height, comp_blocks, sampling, restart_interval=0):
+        """Serialize quantized coefficient blocks as a baseline JFIF.
+
+        ``comp_blocks``: per component, dict ``(block_row, block_col) ->
+        64 quantized coefficients in natural order`` over that
+        component's padded block grid (missing keys = all-zero block).
+        ``sampling``: per component ``(h, v)``.  Component 0 uses the
+        luma quant/Huffman tables, the rest chroma.
+        """
+        ncomp = len(comp_blocks)
+        maxh = max(h for h, _ in sampling)
+        maxv = max(v for _, v in sampling)
+        mcus_x = -(-width // (8 * maxh))
+        mcus_y = -(-height // (8 * maxv))
+
+        enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+        enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+            + _struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
+        for tq, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA))[: 1 if ncomp == 1 else 2]:
+            out += b"\xff\xdb" + _struct.pack(">HB", 67, tq) \
+                + bytes(q[ZZ[i]] for i in range(64))
+        out += b"\xff\xc0" + _struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                          height, width, ncomp)
+        for ci in range(ncomp):
+            h, v = sampling[ci]
+            out += bytes((ci + 1, (h << 4) | v, 0 if ci == 0 else 1))
+        tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+        if ncomp > 1:
+            tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+        for tc_th, (bits, vals) in tables:
+            out += b"\xff\xc4" + _struct.pack(">HB", 19 + len(vals), tc_th) \
+                + bytes(bits) + bytes(vals)
+        if restart_interval:
+            out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
+        out += b"\xff\xda" + _struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):
+            out += bytes((ci + 1, 0 if ci == 0 else 0x11))
+        out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+        acc, nbits = 0, 0
+
+        def put(length, code):
+            nonlocal acc, nbits
+            acc = (acc << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)  # byte stuffing
+
+        def flush():
+            nonlocal acc, nbits
+            if nbits:
+                put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+        def magnitude(v):
+            """(category, appended-bits) per T.81 F.1.2.1."""
+            if v == 0:
+                return 0, 0
+            a, t = abs(v), 0
+            while a:
+                a >>= 1
+                t += 1
+            return t, (v if v >= 0 else v + (1 << t) - 1)
+
+        def put_block(coeffs, dc_pred, kdc, kac):
+            size, bitsv = magnitude(coeffs[0] - dc_pred)
+            length, code = enc_dc[kdc][size]
+            put(length, code)
+            if size:
+                put(size, bitsv)
+            run = 0
+            last_nz = 0
+            for zi in range(63, 0, -1):
+                if coeffs[ZZ[zi]]:
+                    last_nz = zi
+                    break
+            for zi in range(1, last_nz + 1):
+                v = coeffs[ZZ[zi]]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = enc_ac[kac][0xF0]  # ZRL
+                    put(length, code)
+                    run -= 16
+                size, bitsv = magnitude(v)
+                length, code = enc_ac[kac][(run << 4) | size]
+                put(length, code)
+                put(size, bitsv)
+                run = 0
+            if last_nz < 63:
+                length, code = enc_ac[kac][0x00]  # EOB
+                put(length, code)
+            return coeffs[0]
+
+        preds = [0] * ncomp
+        zero = [0] * 64
+        rst = 0
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                flush()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            my, mx = divmod(m, mcus_x)
+            for ci in range(ncomp):
+                h, v = sampling[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = comp_blocks[ci].get((my * v + by, mx * h + bx),
+                                                  zero)
+                        k = 0 if ci == 0 else 1
+                        preds[ci] = put_block(blk, preds[ci], k, k)
+        flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---- decoder --------------------------------------------------------
+    def parse_jpeg(payload):
+        """Decode baseline JPEG -> (width, height, channels, pixels)."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        quant = {}
+        huff = {}  # (class, id) -> {(length, code): value}
+        comps = None
+        width = height = 0
+        restart_interval = 0
+        pos = 2
+        scan = None
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            while payload[pos + 1] == 0xFF:  # optional fill bytes
+                pos += 1
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            seglen = _struct.unpack(">H", payload[pos:pos + 2])[0]
+            seg = payload[pos + 2:pos + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables")
+                    tbl = [0] * 64
+                    for zi in range(64):
+                        tbl[ZZ[zi]] = seg[i + 1 + zi]
+                    quant[tq] = tbl
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + n])
+                    huff[(tc, th)] = {
+                        lc: v for v, lc in _canonical_codes(bits, vals).items()
+                    }
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+                height, width = _struct.unpack(">HH", seg[1:5])
+                ncomp = seg[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                                  "tq": tq})
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+            elif marker == 0xDD:  # DRI
+                restart_interval = _struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                sel = {}
+                for si in range(ns):
+                    cid, tda = seg[1 + 2 * si:3 + 2 * si]
+                    sel[cid] = (tda >> 4, tda & 0xF)
+                scan = (sel, pos + seglen)
+                break
+            pos += seglen
+        if comps is None or scan is None:
+            raise ValueError("truncated JPEG (no SOF/SOS)")
+        if len(comps) not in (1, 3):
+            raise NotImplementedError(f"{len(comps)}-component JPEG")
+        sel, dpos = scan
+
+        maxh = max(c["h"] for c in comps)
+        maxv = max(c["v"] for c in comps)
+        mcus_x = -(-width // (8 * maxh))
+        mcus_y = -(-height // (8 * maxv))
+        planes = []
+        for c in comps:
+            c["pw"] = mcus_x * c["h"] * 8
+            planes.append([0] * (c["pw"] * mcus_y * c["v"] * 8))
+
+        acc = nbits = 0
+        bpos = dpos
+
+        def next_bit():
+            nonlocal acc, nbits, bpos
+            if nbits == 0:
+                b = payload[bpos]
+                bpos += 1
+                if b == 0xFF:
+                    if payload[bpos] == 0x00:
+                        bpos += 1  # unstuff
+                    else:
+                        return None  # hit a marker: decoder must not be here
+                acc, nbits = b, 8
+            nbits -= 1
+            return (acc >> nbits) & 1
+
+        def read_huff(table):
+            code, length = 0, 0
+            while length < 16:
+                bit = next_bit()
+                if bit is None:
+                    raise ValueError("hit marker inside entropy data")
+                code = (code << 1) | bit
+                length += 1
+                v = table.get((length, code))
+                if v is not None:
+                    return v
+            raise ValueError("invalid Huffman code")
+
+        def receive_extend(size):
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | next_bit()
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        def idct_block(coeffs):
+            # rows then columns; exact for the DC-only and sparse blocks
+            # the fixtures use, spec-faithful for everything else
+            tmp = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += C[u] * coeffs[y * 8 + u] * COS[x][u]
+                    tmp[y * 8 + x] = s / 2
+            outb = [0] * 64
+            for x in range(8):
+                for y in range(8):
+                    s = 0.0
+                    for v2 in range(8):
+                        s += C[v2] * tmp[v2 * 8 + x] * COS[y][v2]
+                    val = int(round(s / 2)) + 128
+                    outb[y * 8 + x] = 0 if val < 0 else (255 if val > 255
+                                                         else val)
+            return outb
+
+        preds = [0] * len(comps)
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                nbits = 0  # byte-align
+                while payload[bpos] == 0xFF and payload[bpos + 1] == 0x00:
+                    bpos += 2
+                if payload[bpos] == 0xFF and 0xD0 <= payload[bpos + 1] <= 0xD7:
+                    bpos += 2
+                    preds = [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                qt = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = [0] * 64
+                        size = read_huff(huff[(0, td)])
+                        preds[ci] += receive_extend(size)
+                        coeffs[0] = preds[ci] * qt[0]
+                        zi = 1
+                        while zi <= 63:
+                            rs = read_huff(huff[(1, ta)])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    zi += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            zi += run
+                            if zi > 63:
+                                raise ValueError("AC index overflow")
+                            coeffs[ZZ[zi]] = receive_extend(size) * qt[ZZ[zi]]
+                            zi += 1
+                        px = idct_block(coeffs)
+                        plane, pw = planes[ci], c["pw"]
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+
+        if len(comps) == 1:
+            pw = comps[0]["pw"]
+            pixels = [planes[0][y * pw + x]
+                      for y in range(height) for x in range(width)]
+            return width, height, 1, pixels
+        pixels = []
+        for y in range(height):
+            for x in range(width):
+                smp = []
+                for ci, c in enumerate(comps):
+                    sy = y * c["v"] // maxv
+                    sx = x * c["h"] // maxh
+                    smp.append(planes[ci][sy * c["pw"] + sx])
+                yv, cb, cr = smp
+                r = int(round(yv + 1.402 * (cr - 128)))
+                g = int(round(yv - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)))
+                b = int(round(yv + 1.772 * (cb - 128)))
+                pixels += [max(0, min(255, r)), max(0, min(255, g)),
+                           max(0, min(255, b))]
+        return width, height, 3, pixels
+
+    return encode_jpeg, parse_jpeg
 
 
 def _build_decoder(feature_dim: int = FEATURE_DIM):
@@ -271,6 +711,10 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             raise ValueError(f"sample width {sampwidth} unsupported")
         return rate, nchan, nframes, samples
 
+    # built here (not referenced from module scope) so the codec ships
+    # by value inside this closure, same as every other parser above
+    _parse_jpeg = _build_jpeg_codec()[1]
+
     def decode(payload, mime, fake=False):
         out = {
             "kind": None,
@@ -291,11 +735,14 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             head[:2] in (b"P6", b"P5")
             or head[:2] == b"BM"
             or head[:8] == b"\x89PNG\r\n\x1a\n"
+            or head[:2] == b"\xff\xd8"
         ):
             if head[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, c, pixels = _parse_png(payload)
             elif head[:2] == b"BM":
                 w, h, c, pixels = _parse_bmp(payload)
+            elif head[:2] == b"\xff\xd8":
+                w, h, c, pixels = _parse_jpeg(payload)
             else:
                 w, h, c, pixels = _parse_netpbm(payload)
             out.update(
@@ -332,9 +779,9 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
         else:
             raise NotImplementedError(
                 f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
-                "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, PCM "
-                "WAV — or run with fake=True for a deterministic "
-                "stand-in feature"
+                "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, "
+                "baseline JPEG, PCM WAV — or run with fake=True for a "
+                "deterministic stand-in feature"
             )
         return out
 
@@ -452,12 +899,22 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       deflate length isn't SQL-expressible).
     - ``audio``: mono 16-bit 16 kHz WAV, ``200 + id%50`` samples, all
       equal to ``100 + id%900``.
+    - ``jpeg``: REAL baseline JFIF, 16×16, grayscale when ``id%2 == 0``
+      else YCbCr 4:4:4 with neutral chroma.  Each of the four 8×8
+      blocks holds the constant luma ``Y_b = 2*((id + b) % 128)``
+      (b = 0..3 row-major).  Even luma keeps the DC coefficient exactly
+      divisible by the Annex-K quantizer step (``8*(Y-128) / 16``) and
+      neutral chroma quantizes to zero, so the LOSSY format round-trips
+      bit-exactly and ``pixel_sum = channels * 64 * Σ_b Y_b`` stays
+      closed-form in the id.
 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "audio"):
+    if modality not in ("image", "png", "audio", "jpeg"):
         raise ValueError(f"unknown modality {modality!r}")
+
+    _encode_jpeg = _build_jpeg_codec()[0] if modality == "jpeg" else None
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -540,7 +997,20 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 f.writeframes(_struct.pack("<h", amp) * n)
             return buf.getvalue()
 
-        build = {"image": _ppm, "png": _png, "audio": _wav}[modality]
+        def _jpeg(i):
+            gray = i % 2 == 0
+            # quantized DC for constant block Y: F00 = 8*(Y-128), step 16
+            luma = {
+                (by, bx): [(2 * ((i + by * 2 + bx) % 128) - 128) // 2] + [0] * 63
+                for by in range(2)
+                for bx in range(2)
+            }
+            comps = [luma] if gray else [luma, {}, {}]  # {} = all-zero chroma
+            return _encode_jpeg(16, 16, comps, [(1, 1)] * len(comps))
+
+        build = {"image": _ppm, "png": _png, "audio": _wav, "jpeg": _jpeg}[
+            modality
+        ]
         for pdf in batches:
             ids = pdf["__id"]
             yield _pd.DataFrame(

@@ -459,6 +459,47 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(256 AS BIGINT) AS n_pixels,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) * 64
+                * (2 * ((doc_id + 0) % 128) + 2 * ((doc_id + 1) % 128)
+                 + 2 * ((doc_id + 2) % 128) + 2 * ((doc_id + 3) % 128))
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL baseline JPEG decode — per-doc 16×16 JFIF "
+    "payloads (grayscale / YCbCr-4:4:4 by id%2) are entropy-encoded by "
+    "the stdlib baseline encoder from quantized coefficients chosen on "
+    "the exact-quantization lattice (even per-block luma ⇒ DC step 16 "
+    "divides 8*(Y-128); neutral chroma ⇒ zero blocks), then Huffman-"
+    "decoded, dequantized and IDCT'd back inside mapInPandas.  The "
+    "LOSSY format round-trips bit-exactly on this lattice, so geometry, "
+    "channels and pixel_sum = channels * 64 * Σ_b 2*((id+b)%128) match "
+    "the oracle's integer arithmetic with no tolerance.  Scale shape: "
+    "map-only mapInPandas, payload bytes never leave their partition.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "jpeg"), "payload", "image/jpeg")
+    return featurize_media(media, fake=False).select(
+        "media_id", "width", "height", "channels", "n_pixels", "pixel_sum"
+    )
+
+
+@register(
     "multimodal_audio_decode",
     """
     SELECT doc_id AS media_id,

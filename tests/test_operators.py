@@ -303,7 +303,12 @@ def test_featurize_media_fake_deterministic(spark):
 def test_decode_media_raises_without_codec():
     from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
 
+    # no stdlib codec for video containers
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4", fake=False)
+    # JPEG now has a real parser: malformed JPEG is a parse error,
+    # not a missing-codec error
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8jpegbytes", "image/jpeg", fake=False)
 
 
@@ -481,6 +486,159 @@ def test_decode_wav_golden():
     assert (d["kind"], d["sample_rate"], d["n_samples"]) == ("audio", 8000, 4)
     assert d["abs_sum"] == 600
     assert d["samples"] == [100, -200, 0, 300]
+
+
+def _ref_idct_block(qcoef, qt):
+    """Independent IDCT oracle (numpy matrix form, not the codec's own
+    loop): dequantize, 2-D type-III DCT, round, level-shift, clamp."""
+    import numpy as np
+
+    F_ = np.asarray(qcoef, dtype=float).reshape(8, 8) * np.asarray(
+        qt, dtype=float
+    ).reshape(8, 8)
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            M[x, u] = (
+                (1 / np.sqrt(2) if u == 0 else 1.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                / 2
+            )
+    return np.clip(np.round(M @ F_ @ M.T) + 128, 0, 255).astype(int)
+
+
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def test_jpeg_dc_lattice_roundtrip_exact():
+    """The synthesizer contract: even-luma DC-only blocks round-trip the
+    lossy format bit-exactly (quantizer step divides the coefficient)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+        decode_media,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    for i in (0, 1, 2, 3, 127, 255, 1000):
+        gray = i % 2 == 0
+        luma = {
+            (by, bx): [(2 * ((i + by * 2 + bx) % 128) - 128) // 2] + [0] * 63
+            for by in range(2)
+            for bx in range(2)
+        }
+        comps = [luma] if gray else [luma, {}, {}]
+        payload = enc(16, 16, comps, [(1, 1)] * len(comps))
+        d = decode_media(payload, "image/jpeg")
+        assert (d["kind"], d["width"], d["height"]) == ("image", 16, 16)
+        assert d["channels"] == (1 if gray else 3)
+        assert d["pixel_sum"] == d["channels"] * 64 * sum(
+            2 * ((i + b) % 128) for b in range(4)
+        )
+
+
+def test_jpeg_ac_and_restart_vs_independent_idct():
+    """General entropy coding (AC runs, ZRL/EOB, restart markers) against
+    a numpy IDCT the codec does not share code with."""
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    rng = np.random.RandomState(42)
+    blocks, expect = {}, {}
+    for by in range(2):
+        for bx in range(3):
+            b = rng.randint(-9, 10, size=64)
+            blocks[(by, bx)] = list(b)
+            expect[(by, bx)] = _ref_idct_block(b, _JPEG_QL)
+    w, h, c, px = dec(enc(24, 16, [blocks], [(1, 1)], restart_interval=2))
+    assert (w, h, c) == (24, 16, 1)
+    arr = np.array(px).reshape(16, 24)
+    for (by, bx), exp in expect.items():
+        assert (arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] == exp).all()
+
+
+def test_jpeg_420_subsampled_color():
+    """4:2:0 MCU interleave + nearest chroma upsample + YCbCr->RGB."""
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    rng = np.random.RandomState(7)
+    luma, explum = {}, {}
+    for by in range(2):
+        for bx in range(2):
+            b = rng.randint(-9, 10, size=64)
+            luma[(by, bx)] = list(b)
+            explum[(by, bx)] = _ref_idct_block(b, _JPEG_QL)
+    cb = rng.randint(-3, 4, size=64)
+    cr = rng.randint(-3, 4, size=64)
+    payload = enc(
+        16, 16,
+        [luma, {(0, 0): list(cb)}, {(0, 0): list(cr)}],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+    w, h, c, px = dec(payload)
+    assert (w, h, c) == (16, 16, 3)
+    expcb = _ref_idct_block(cb, _JPEG_QC)
+    expcr = _ref_idct_block(cr, _JPEG_QC)
+    arr = np.array(px).reshape(16, 16, 3)
+    for y in range(16):
+        for x in range(16):
+            yv = explum[(y // 8, x // 8)][y % 8, x % 8]
+            b_ = expcb[y // 2, x // 2]
+            r_ = expcr[y // 2, x // 2]
+            want = [
+                max(0, min(255, int(round(yv + 1.402 * (r_ - 128))))),
+                max(0, min(255, int(round(
+                    yv - 0.344136 * (b_ - 128) - 0.714136 * (r_ - 128))))),
+                max(0, min(255, int(round(yv + 1.772 * (b_ - 128))))),
+            ]
+            assert list(arr[y, x]) == want
+
+
+def test_jpeg_odd_dims_and_progressive_rejected():
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    rng = np.random.RandomState(3)
+    blocks, expect = {}, {}
+    for by in range(2):
+        for bx in range(2):
+            b = rng.randint(-5, 6, size=64)
+            blocks[(by, bx)] = list(b)
+            expect[(by, bx)] = _ref_idct_block(b, _JPEG_QL)
+    w, h, c, px = dec(enc(12, 10, [blocks], [(1, 1)]))
+    assert (w, h, c) == (12, 10, 1)
+    arr = np.array(px).reshape(10, 12)
+    for y in range(10):
+        for x in range(12):
+            assert arr[y, x] == expect[(y // 8, x // 8)][y % 8, x % 8]
+
+    # progressive (SOF2) is out of scope and must say so
+    payload = bytearray(enc(8, 8, [{(0, 0): [0] * 64}], [(1, 1)]))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        dec(bytes(payload))
 
 
 def test_featurize_media_real_decode(spark):
