@@ -35,8 +35,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Enum dictionaries of the v3 scan layout (see materialize_big_lineitem):
+#: the reference's benchmarked table stores its group key as a 1-byte
+#: dictionary code — ``cab_type Enum8('yellow'=1,'green'=2,'uber'=3)``
+#: (README.md:576) — and every benchmark query groups by that code.  The
+#: gold layout makes the same storage decision for the two enum-like
+#: lineitem strings; queries group by the byte and restore the label on
+#: the ≤6 aggregated rows, so results are identical to the string form.
+RETURNFLAG_ENUM = {"A": 1, "N": 2, "R": 3}
+LINESTATUS_ENUM = {"F": 1, "O": 2}
+
+
+def _decode_enum(code_col: str, enum: dict[str, int], alias: str):
+    mapping = F.create_map(
+        *[F.lit(x) for code, label in sorted((v, k) for k, v in enum.items()) for x in (code, label)]
+    )
+    return F.element_at(mapping, F.col(code_col).cast("int")).alias(alias)
+
+
 def _q1(li: DataFrame) -> DataFrame:
-    return li.groupBy(F.col("l_returnflag").alias("key")).agg(F.count("*").alias("cnt"))
+    # group by the 1-byte enum code (the stored form); the 3-row post-agg
+    # projection restores the string label — same output as grouping by
+    # the string, minus the per-row string hash/compare cost.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .select(_decode_enum("l_returnflag", RETURNFLAG_ENUM, "key"), "cnt")
+    )
 
 
 def _q2(li: DataFrame) -> DataFrame:
@@ -52,13 +77,20 @@ def _q3(li: DataFrame) -> DataFrame:
 
 
 def _q4(li: DataFrame) -> DataFrame:
+    # v3 stores l_quantity as INT (whole-valued in the data, asserted at
+    # materialization), so round() is the identity and all three group
+    # keys are ints — Spark's vectorized agg fast-map covers the whole
+    # key, where the rounded-double key forced a row-based fallback
+    # (BENCH_NOTES.md round-4 profile).  The post-agg cast restores the
+    # double type the rounded expression used to produce.
     return (
         li.groupBy(
             F.col("l_linenumber").alias("key"),
             F.year("l_shipdate").alias("year"),
-            F.round("l_quantity", 0).alias("qty"),
+            F.col("l_quantity").alias("qty_i"),
         )
         .agg(F.count("*").alias("cnt"))
+        .select("key", "year", F.col("qty_i").cast("double").alias("qty"), "cnt")
         .orderBy(F.col("year").asc(), F.col("cnt").desc())
     )
 
@@ -68,8 +100,11 @@ def _tpch_q1(li: DataFrame) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
+        # l_quantity is INT in the v3 layout: sum/avg produce bigint /
+        # double with values identical to the double-typed original; the
+        # post-agg casts below restore the original output types.
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
@@ -77,6 +112,18 @@ def _tpch_q1(li: DataFrame) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            _decode_enum("l_returnflag", RETURNFLAG_ENUM, "l_returnflag"),
+            _decode_enum("l_linestatus", LINESTATUS_ENUM, "l_linestatus"),
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
     )
 
@@ -119,12 +166,31 @@ def materialize_big_lineitem(
     table; return ``(path, row_count)``.  Reuses an existing
     materialization for the same (sf, factor)."""
     sf_name = Path(sf_dir).name or "sf"
-    # layout v2: l_shipdate stored as DATE (see below) — new directory so
-    # a stale v1 (timestamp) materialization is never silently reused
-    out = Path(scratch_root) / f"{sf_name}_x{factor}_v2" / "lineitem"
+    # layout v3: l_shipdate DATE + enum-coded returnflag/linestatus +
+    # INT l_quantity (see below) — new directory so a stale v1/v2
+    # materialization is never silently reused
+    out = Path(scratch_root) / f"{sf_name}_x{factor}_v3" / "lineitem"
     marker = out / "_SUCCESS"
     if not marker.exists():
         li = spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet"))
+        # the enum/int storage decisions below are lossless only if the
+        # data matches the dictionary; assert on the small pre-fan-out
+        # side (one 600k-row pass) rather than trusting it
+        bad = li.filter(
+            (~F.col("l_returnflag").isin(*RETURNFLAG_ENUM))
+            | (~F.col("l_linestatus").isin(*LINESTATUS_ENUM))
+            | (F.col("l_quantity") != F.floor("l_quantity"))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} lineitem rows violate the v3 enum/int layout assumptions"
+            )
+        rf_code = F.create_map(
+            *[F.lit(x) for k, v in RETURNFLAG_ENUM.items() for x in (k, v)]
+        )
+        ls_code = F.create_map(
+            *[F.lit(x) for k, v in LINESTATUS_ENUM.items() for x in (k, v)]
+        )
         # repartition the small pre-fan-out side so the big table lands
         # in `files` parquet files and scans with full parallelism
         reps = F.broadcast(spark.range(factor).select(F.col("id").alias("__rep")))
@@ -139,6 +205,14 @@ def materialize_big_lineitem(
             # faster (scan_profile.py: year-scan 0.31 s -> 0.14 s, q3
             # 0.75 -> 0.39 s, q4 1.29 -> 0.99 s at 60 M rows).
             .withColumn("l_shipdate", F.to_date("l_shipdate"))
+            # store the enum-like strings as 1-byte codes and the
+            # whole-valued quantity as an int — the reference's
+            # benchmarked table makes the identical decisions
+            # (`cab_type Enum8(...)` README.md:576, `passenger_count
+            # int`); queries decode the ≤6 aggregated labels post-agg
+            .withColumn("l_returnflag", F.element_at(rf_code, F.col("l_returnflag")).cast("tinyint"))
+            .withColumn("l_linestatus", F.element_at(ls_code, F.col("l_linestatus")).cast("tinyint"))
+            .withColumn("l_quantity", F.col("l_quantity").cast("int"))
             .repartition(files)
             .crossJoin(reps)
             # de-dictionary the measure column: naive replication gives
