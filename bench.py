@@ -214,6 +214,11 @@ def main() -> None:
         headline["rows_per_sec_per_core"] = full["rows_per_sec_per_core"] = round(
             statistics.median(scan["rows_per_sec_per_core"].values()), 1
         )
+        # the scan walls are the BASELINE.md-comparable numbers (same
+        # 1.1 B row count as the reference's benchmark at the default
+        # factor) — surface them compactly in the headline
+        headline["scan_rows"] = scan["rows"]
+        headline["scan_best_sec"] = scan["query_best_sec"]
 
     local_path = Path(__file__).resolve().parent / f"BENCH_local_r{next_round():02d}.json"
     local_path.write_text(json.dumps(full, indent=2) + "\n")

@@ -6,10 +6,12 @@ BENCH_NOTES.md), so they say nothing about scan throughput — the
 quantity the reference's 1.1 B-row numbers (BASELINE.md, README.md
 benchmark tables) actually measure.  This module produces a
 scan-bound data point: replicate the sf lineitem ``factor``× into a
-cached parquet table (default ×100 -> ~60 M rows at sf0.1), run the
-reference's four benchmark shapes plus the two pure-scan TPC-H shapes
-on it, and report rows/s/core so the number is comparable across
-machines and to the reference's single-node throughput.
+cached parquet table (default ×1833 -> 1.0998 B rows at sf0.1 — the
+reference's own benchmark row count, so walls compare directly), run
+the reference's four benchmark shapes plus the two pure-scan TPC-H
+shapes on it, and report wall + rows/s/core so the number is
+comparable across machines and to the reference's single-node
+throughput.
 
 Design notes (100 TB stance):
 - Replication is a broadcast nested-loop join against a ``factor``-row
@@ -46,11 +48,26 @@ RETURNFLAG_ENUM = {"A": 1, "N": 2, "R": 3}
 LINESTATUS_ENUM = {"F": 1, "O": 2}
 
 
+def _coded(li: DataFrame, col: str) -> bool:
+    """True when ``col`` is stored in the v3 coded/int form (vs the raw
+    string/double form) — the shapes adapt so the same query runs on
+    either storage and produces identical output."""
+    return dict(li.dtypes)[col] not in ("string", "double")
+
+
 def _decode_enum(code_col: str, enum: dict[str, int], alias: str):
     mapping = F.create_map(
         *[F.lit(x) for code, label in sorted((v, k) for k, v in enum.items()) for x in (code, label)]
     )
     return F.element_at(mapping, F.col(code_col).cast("int")).alias(alias)
+
+
+def _label(li: DataFrame, col: str, enum: dict[str, int], alias: str):
+    """Post-agg label restore: decode the enum byte when coded, pass the
+    string through when not."""
+    if _coded(li, col):
+        return _decode_enum(col, enum, alias)
+    return F.col(col).alias(alias)
 
 
 def _q1(li: DataFrame) -> DataFrame:
@@ -60,7 +77,7 @@ def _q1(li: DataFrame) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.count("*").alias("cnt"))
-        .select(_decode_enum("l_returnflag", RETURNFLAG_ENUM, "key"), "cnt")
+        .select(_label(li, "l_returnflag", RETURNFLAG_ENUM, "key"), "cnt")
     )
 
 
@@ -83,11 +100,14 @@ def _q4(li: DataFrame) -> DataFrame:
     # key, where the rounded-double key forced a row-based fallback
     # (BENCH_NOTES.md round-4 profile).  The post-agg cast restores the
     # double type the rounded expression used to produce.
+    qty_key = (
+        F.col("l_quantity") if _coded(li, "l_quantity") else F.round("l_quantity", 0)
+    )
     return (
         li.groupBy(
             F.col("l_linenumber").alias("key"),
             F.year("l_shipdate").alias("year"),
-            F.col("l_quantity").alias("qty_i"),
+            qty_key.alias("qty_i"),
         )
         .agg(F.count("*").alias("cnt"))
         .select("key", "year", F.col("qty_i").cast("double").alias("qty"), "cnt")
@@ -114,8 +134,8 @@ def _tpch_q1(li: DataFrame) -> DataFrame:
             F.count("*").alias("count_order"),
         )
         .select(
-            _decode_enum("l_returnflag", RETURNFLAG_ENUM, "l_returnflag"),
-            _decode_enum("l_linestatus", LINESTATUS_ENUM, "l_linestatus"),
+            _label(li, "l_returnflag", RETURNFLAG_ENUM, "l_returnflag"),
+            _label(li, "l_linestatus", LINESTATUS_ENUM, "l_linestatus"),
             "sum_qty",
             "sum_base_price",
             "sum_disc_price",
@@ -235,7 +255,15 @@ def materialize_big_lineitem(
 
 
 def scan_factor() -> int:
-    return int(os.environ.get("BENCH_SCAN_FACTOR", "100"))
+    """Replication factor for the scan table.  Default ×1833 puts the
+    sf0.1 lineitem at 1,099,800,000 rows — the reference's own 1.1 B-row
+    benchmark scale — so the reported walls are directly comparable to
+    BASELINE.md with no per-row extrapolation and no fixed job floor
+    inflating the scaled number (the floor is ~0.1 s; multiplying a
+    60 M-row wall by 18.33 multiplies the floor too, overstating the
+    1.1 B wall by up to 1.8 s/query).  Materialization is ~4.3 GB of
+    parquet, written once per (sf, factor) and reused."""
+    return int(os.environ.get("BENCH_SCAN_FACTOR", "1833"))
 
 
 def scan_enabled() -> bool:

@@ -65,3 +65,41 @@ def test_shapes_run_on_plain_lineitem(spark):
     for i in range(1, len(rows)):
         if rows[i]["year"] == rows[i - 1]["year"]:
             assert rows[i]["cnt"] <= rows[i - 1]["cnt"]
+
+
+def test_coded_layout_results_identical_to_string_form(spark):
+    """The v3 enum/int-coded materialization must be invisible in query
+    results: every scan shape on the coded table returns exactly the
+    rows the same shape returns on the raw string/double-typed lineitem
+    (same replication, same jitter).  This is the correctness contract
+    behind quoting the coded-layout walls against BASELINE.md."""
+    scratch = tempfile.mkdtemp(prefix="scan_bench_eq_")
+    try:
+        path, _ = scan_bench.materialize_big_lineitem(
+            spark, SF_SMOKE, factor=3, scratch_root=scratch, files=2
+        )
+        coded = spark.read.parquet(path)
+
+        raw = (
+            spark.read.parquet(str(Path(SF_SMOKE) / "lineitem.parquet"))
+            .withColumn("l_shipdate", F.to_date("l_shipdate"))
+        )
+        reps = F.broadcast(spark.range(3).select(F.col("id").alias("__rep")))
+        plain = (
+            raw.crossJoin(reps)
+            .withColumn(
+                "l_extendedprice",
+                F.col("l_extendedprice") + F.col("__rep") * F.lit(0.01),
+            )
+            .drop("__rep")
+        )
+
+        for name, shape in scan_bench.SCAN_SHAPES.items():
+            got = sorted(tuple(r) for r in shape(coded).collect())
+            want = sorted(tuple(r) for r in shape(plain).collect())
+            assert got == want, f"{name}: coded layout changed results"
+            assert (
+                shape(coded).schema == shape(plain).schema
+            ), f"{name}: coded layout changed schema"
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
