@@ -21,11 +21,17 @@ pure-stdlib parser can handle:
   oracle-exact fixtures (see :func:`_build_jpeg_codec`).  Progressive
   (SOF2) and CMYK raise.
 - **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count).
+- **MJPEG AVI**: RIFF container walk (``hdrl``/``avih`` geometry +
+  timing, ``movi``/``00dc`` frame payloads) with per-frame baseline
+  JPEG decode — real video frame sampling via
+  :func:`decode_video_frames`; the writer half builds oracle-exact
+  fixture videos (see :func:`_build_avi_codec`).
 
-Formats that need external codec libraries (MP4/video) are NOT
-decoded: ``decode_media`` raises ``NotImplementedError`` for them
-unless ``fake=True``, which substitutes a deterministic hash-derived
-feature vector with the exact shape a real decoder would emit.
+Formats that need external codec libraries (inter-frame video:
+MP4/H.264/VP9) are NOT decoded: ``decode_media`` raises
+``NotImplementedError`` for them unless ``fake=True``, which
+substitutes a deterministic hash-derived feature vector with the
+exact shape a real decoder would emit.
 
 Worker-shipping note: every function handed to ``mapInPandas`` is
 built by :func:`_build_decoder` / nested factories so cloudpickle
@@ -527,6 +533,201 @@ def _build_jpeg_codec():
     return encode_jpeg, parse_jpeg
 
 
+def _build_avi_codec():
+    """Pure-stdlib MJPEG-AVI container codec: ``(encode_avi,
+    parse_avi)``.
+
+    AVI is a RIFF container (fourcc-tagged, little-endian,
+    word-aligned chunks).  The writer emits the minimal standard
+    layout — ``RIFF('AVI ') -> LIST hdrl(avih, LIST strl(strh, strf))
+    + LIST movi('00dc'*n)`` — with one Motion-JPEG video stream whose
+    frames are baseline JPEG payloads (our own codec,
+    :func:`_build_jpeg_codec`).  The parser walks the chunk tree,
+    reads geometry/timing from ``avih`` and collects the ``00dc``
+    frame payloads.  Intra-frame MJPEG is the one video format a
+    stdlib decoder can fully handle; inter-frame codecs (H.264/MP4)
+    remain the declared out-of-scope boundary.
+
+    Factory-built for the same cloudpickle-by-value reason as the
+    other codecs.
+    """
+    import struct as _struct
+
+    def _chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + _struct.pack("<I", len(data)) + data + pad
+
+    def _list(list_type, data):
+        return _chunk(b"LIST", list_type + data)
+
+    def encode_avi(width, height, usec_per_frame, frames):
+        """Assemble an MJPEG AVI from JPEG ``frames`` (list of bytes)."""
+        n = len(frames)
+        max_size = max((len(f) for f in frames), default=0)
+        avih = _struct.pack(
+            "<14I",
+            usec_per_frame,      # dwMicroSecPerFrame
+            0,                   # dwMaxBytesPerSec (advisory)
+            0,                   # dwPaddingGranularity
+            0x10,                # dwFlags: AVIF_HASINDEX off, interleaved off
+            n,                   # dwTotalFrames
+            0,                   # dwInitialFrames
+            1,                   # dwStreams
+            max_size,            # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,          # dwReserved[4]
+        )
+        strh = _struct.pack(
+            "<4s4sIHHIIIIIIII4h",
+            b"vids", b"MJPG",    # fccType, fccHandler
+            0,                   # dwFlags
+            0, 0,                # wPriority, wLanguage
+            0,                   # dwInitialFrames
+            usec_per_frame,      # dwScale
+            1_000_000,           # dwRate (rate/scale = fps)
+            0,                   # dwStart
+            n,                   # dwLength (in frames)
+            max_size,            # dwSuggestedBufferSize
+            0,                   # dwQuality (default)
+            0,                   # dwSampleSize (0 = varying, one frame/chunk)
+            0, 0, width, height, # rcFrame
+        )
+        strf = _struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    def _walk(payload, start, end):
+        """Yield (fourcc, data_start, data_size) over a chunk run."""
+        o = start
+        while o + 8 <= end:
+            fourcc = payload[o : o + 4]
+            (size,) = _struct.unpack_from("<I", payload, o + 4)
+            yield fourcc, o + 8, size
+            o += 8 + size + (size % 2)  # chunks are word-aligned
+
+    def parse_avi(payload):
+        """Parse an MJPEG AVI -> dict(width, height, usec_per_frame,
+        n_frames, frames=[jpeg bytes, ...])."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
+        header = None
+        frames = []
+        for fourcc, do, dsize in _walk(payload, 12, len(payload)):
+            if fourcc != b"LIST":
+                continue
+            list_type = payload[do : do + 4]
+            if list_type == b"hdrl":
+                for f2, o2, s2 in _walk(payload, do + 4, do + dsize):
+                    if f2 == b"avih":
+                        if s2 < 56 or o2 + 56 > len(payload):
+                            raise ValueError("AVI avih header truncated")
+                        vals = _struct.unpack_from("<14I", payload, o2)
+                        header = {
+                            "usec_per_frame": vals[0],
+                            "n_frames": vals[4],
+                            "width": vals[8],
+                            "height": vals[9],
+                        }
+            elif list_type == b"movi":
+                for f2, o2, s2 in _walk(payload, do + 4, do + dsize):
+                    # 00dc = stream-0 compressed video; 00db = uncompressed
+                    if f2[2:4] in (b"dc", b"db"):
+                        frames.append(bytes(payload[o2 : o2 + s2]))
+        if header is None:
+            raise ValueError("AVI missing avih main header")
+        if len(frames) != header["n_frames"]:
+            raise ValueError(
+                f"AVI frame count mismatch: avih says {header['n_frames']}, "
+                f"movi has {len(frames)}"
+            )
+        return dict(header, frames=frames)
+
+    return encode_avi, parse_avi
+
+
+#: schema emitted by decode_video_frames — one row per sampled frame
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """REAL video frame sampling over MJPEG-AVI payloads: parse the
+    RIFF container, pick the frame under each ``every_ms`` grid point
+    (``ts*1000 // usec_per_frame``), baseline-JPEG-decode ONLY the
+    sampled frames, and emit one row per sample with decoded geometry
+    and pixel_sum.
+
+    Scale shape: map-only ``mapInPandas`` — payload bytes never leave
+    their partition, no shuffle, and unsampled frames are never
+    entropy-decoded (the container scan is byte-offset walking only),
+    which is what makes sparse sampling of long videos cheap at 100 TB.
+    """
+    # build the codecs HERE (driver side) and close over the returned
+    # functions: factory-built closures cloudpickle BY VALUE, so the
+    # worker needs neither this module nor the package on its path —
+    # referencing _build_avi_codec inside decode_frames would pickle a
+    # by-reference module global and break on vanilla workers
+    from_avi = _build_avi_codec()[1]
+    parse_jpeg = _build_jpeg_codec()[1]
+
+    def decode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "frame_ts_ms", "frame_index",
+                    "width", "height", "pixel_sum",
+                )
+            }
+            for mid, payload in zip(pdf["__id"], pdf["__payload"]):
+                video = from_avi(bytes(payload))
+                usec = video["usec_per_frame"]
+                duration_ms = video["n_frames"] * usec // 1000
+                ts = 0
+                while ts < duration_ms:
+                    idx = ts * 1000 // usec
+                    w, h, _c, pixels = parse_jpeg(video["frames"][idx])
+                    out["media_id"].append(int(mid))
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_index"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(sum(pixels))
+                    ts += every_ms
+            yield _pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(f"{media_col}.bytes").alias("__payload"),
+    ).mapInPandas(decode_frames, schema=VIDEO_FRAME_SCHEMA)
+
+
 def _build_decoder(feature_dim: int = FEATURE_DIM):
     """Return a self-contained ``decode(payload, mime, fake=False) ->
     dict`` closure.  All imports and helpers live INSIDE this factory
@@ -907,14 +1108,23 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       neutral chroma quantizes to zero, so the LOSSY format round-trips
       bit-exactly and ``pixel_sum = channels * 64 * Σ_b Y_b`` stays
       closed-form in the id.
+    - ``video``: REAL MJPEG AVI, ``2 + id%4`` frames at 5 fps
+      (200 ms/frame), each frame a 16×16 grayscale JPEG on the same
+      exact-quantization lattice with per-frame offset: frame ``f``
+      block ``b`` holds ``Y = 2*((id + 5*f + b) % 128)``, so every
+      sampled frame's ``pixel_sum = 64 * Σ_b 2*((id + 5f + b) % 128)``
+      is closed-form in (id, f).
 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "audio", "jpeg"):
+    if modality not in ("image", "png", "audio", "jpeg", "video"):
         raise ValueError(f"unknown modality {modality!r}")
 
-    _encode_jpeg = _build_jpeg_codec()[0] if modality == "jpeg" else None
+    _encode_jpeg = (
+        _build_jpeg_codec()[0] if modality in ("jpeg", "video") else None
+    )
+    _encode_avi = _build_avi_codec()[0] if modality == "video" else None
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -1008,9 +1218,30 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             comps = [luma] if gray else [luma, {}, {}]  # {} = all-zero chroma
             return _encode_jpeg(16, 16, comps, [(1, 1)] * len(comps))
 
-        build = {"image": _ppm, "png": _png, "audio": _wav, "jpeg": _jpeg}[
-            modality
-        ]
+        def _frame_jpeg(i, f):
+            # grayscale frame on the exact lattice: block b holds the
+            # constant Y = 2*((i + 5f + b) % 128)
+            luma = {
+                (by, bx): [(2 * ((i + 5 * f + by * 2 + bx) % 128) - 128) // 2]
+                + [0] * 63
+                for by in range(2)
+                for bx in range(2)
+            }
+            return _encode_jpeg(16, 16, [luma], [(1, 1)])
+
+        def _avi(i):
+            n_frames = 2 + i % 4
+            return _encode_avi(
+                16, 16, 200_000, [_frame_jpeg(i, f) for f in range(n_frames)]
+            )
+
+        build = {
+            "image": _ppm,
+            "png": _png,
+            "audio": _wav,
+            "jpeg": _jpeg,
+            "video": _avi,
+        }[modality]
         for pdf in batches:
             ids = pdf["__id"]
             yield _pd.DataFrame(

@@ -500,6 +500,50 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id AS media_id,
+           ts AS frame_ts_ms,
+           ts // 200 AS frame_index,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(64 * (2*((doc_id + 5*(ts//200) + 0) % 128)
+                    + 2*((doc_id + 5*(ts//200) + 1) % 128)
+                    + 2*((doc_id + 5*(ts//200) + 2) % 128)
+                    + 2*((doc_id + 5*(ts//200) + 3) % 128)) AS BIGINT)
+             AS pixel_sum
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, (2 + doc_id % 4) * 200 - 1, 300)) AS ts
+    ) t
+    """,
+    doc="§7 multimodal: REAL video frame sampling — per-doc MJPEG AVI "
+    "payloads (RIFF container, 2 + id%4 frames at 5 fps, each frame a "
+    "16×16 grayscale baseline JPEG on the exact-quantization lattice "
+    "with per-frame offset 5f) are container-parsed and the frame under "
+    "each 300 ms grid point is JPEG-decoded inside mapInPandas; "
+    "frame_index = ts//200 and pixel_sum = 64 * Σ_b 2*((id+5f+b)%128) "
+    "must match the oracle's integer arithmetic with no tolerance.  "
+    "Unsampled frames are never entropy-decoded (byte-offset container "
+    "walk only) — the property that makes sparse sampling of long "
+    "videos map-only-cheap at 100 TB.  Inter-frame codecs (H.264/MP4) "
+    "remain the declared out-of-scope boundary.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "video"), "payload", "video/x-msvideo")
+    return decode_video_frames(media, every_ms=300)
+
+
+@register(
     "multimodal_audio_decode",
     """
     SELECT doc_id AS media_id,

@@ -923,3 +923,64 @@ def test_resample_audio_sample_count(spark):
     r = resample_audio(df, target_hz=16_000).first()
     assert r["n_samples"] == 40_000  # 2.5s * 16kHz (metadata path: not a WAV)
     assert r["pcm"] is not None
+
+def test_avi_codec_roundtrip_exact():
+    """MJPEG-AVI container + per-frame baseline JPEG round-trip exactly
+    on the quantization lattice used by synthesize_media('video')."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_avi_codec,
+        _build_jpeg_codec,
+    )
+
+    enc_avi, parse_avi = _build_avi_codec()
+    enc_jpg, parse_jpg = _build_jpeg_codec()
+
+    def frame(i, f):
+        luma = {
+            (by, bx): [(2 * ((i + 5 * f + by * 2 + bx) % 128) - 128) // 2]
+            + [0] * 63
+            for by in range(2)
+            for bx in range(2)
+        }
+        return enc_jpg(16, 16, [luma], [(1, 1)])
+
+    for i in (0, 1, 7, 123):
+        n = 2 + i % 4
+        avi = enc_avi(16, 16, 200_000, [frame(i, f) for f in range(n)])
+        v = parse_avi(avi)
+        assert (v["width"], v["height"], v["usec_per_frame"], v["n_frames"]) == (
+            16, 16, 200_000, n,
+        )
+        for f in range(n):
+            w, h, c, px = parse_jpg(v["frames"][f])
+            assert (w, h, c) == (16, 16, 1)
+            assert sum(px) == 64 * sum(2 * ((i + 5 * f + b) % 128) for b in range(4))
+
+    # malformed containers are rejected, not mis-parsed
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError):
+        parse_avi(avi[:40])  # truncated before movi -> frame-count mismatch
+
+
+def test_decode_video_frames_exact(spark):
+    """Sampled-frame decode matches the closed-form pixel arithmetic and
+    the ceil(duration/every_ms) grid size."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = spark.range(24).select(F.col("id").alias("media_id"))
+    media = pack_media(synthesize_media(ids, "video"), "payload", "video/x-msvideo")
+    rows = decode_video_frames(media, every_ms=300).collect()
+
+    expected_n = sum(-(-((2 + i % 4) * 200) // 300) for i in range(24))
+    assert len(rows) == expected_n
+    for r in rows:
+        i, f = r["media_id"], r["frame_index"]
+        assert f == r["frame_ts_ms"] // 200
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["pixel_sum"] == 64 * sum(2 * ((i + 5 * f + b) % 128) for b in range(4))
