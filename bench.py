@@ -76,6 +76,8 @@ DEFAULT_QUERIES = [
     "pandas_udf_vectorized",
     "near_dup_components_star",
     "text_repetition",
+    "line_dedup_corpus",
+    "text_bm25_topk",
 ]
 
 

@@ -340,3 +340,78 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetitive"),
         )
     )
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('table', 'scan', 'join')
+      GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE term IN ('table', 'scan', 'join')
+      GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(round(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               6)) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 ranking (Robertson-Sparck Jones; k1=1.2, b=0.75) "
+    "for a fixed 3-term query over the documents table: per-term "
+    "contributions idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with "
+    "idf = ln(1+(N-df+0.5)/(df+0.5)), summed per doc, global top-20 "
+    "with a doc_id tie-break.  Per-term scores are rounded to 6 dp "
+    "before the cross-term sum so both engines add identical doubles "
+    "regardless of aggregation order.  Scale shape: the only big "
+    "shuffles are term-keyed tf and doc-keyed dl aggs; N/avgdl/df are "
+    "1-row / 3-row broadcasts and the final global top-k is "
+    "TakeOrderedAndProject, never a full sort.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query_terms = ("table", "scan", "join")
+    k1, b = 1.2, 0.75
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n")
+    )
+    matched = tok.filter(F.col("term").isin(*query_terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_ = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    contrib = F.round(
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )

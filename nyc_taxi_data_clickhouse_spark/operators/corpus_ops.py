@@ -411,3 +411,102 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(wcss < 0.99 * tss)).alias("inertia_below_tss"),
         )
     )
+
+
+@register(
+    "line_dedup_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(list_slice(ts, i * 8 + 1, i * 8 + 8), ' ') AS line
+      FROM toks
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(ts) / 8.0) AS BIGINT) - 1)) AS i
+      ) g
+    ),
+    keeper AS (
+      SELECT line, min(doc_id * 1000000 + line_no) AS first_key
+      FROM lines GROUP BY line
+    ),
+    marked AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (l.doc_id * 1000000 + l.line_no) = k.first_key AS keep
+      FROM lines l JOIN keeper k USING (line)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(
+             list(CASE WHEN keep THEN line END ORDER BY line_no)
+               FILTER (WHERE keep), ' '), '') AS dedup_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+    doc="C4-style span-level corpus dedup (Raffel et al. 2020 dedup "
+    "unit, applied as non-overlapping 8-token spans since the corpus "
+    "has no newline structure): every span that occurs anywhere "
+    "earlier in the corpus — first occurrence = smallest "
+    "(doc_id, span_no) — is removed from later documents, and each "
+    "document is reassembled from its surviving spans in order.  "
+    "Scale shape: one span-keyed groupBy with map-side partial "
+    "aggregation (hot boilerplate spans collapse map-side, unlike a "
+    "window over the span key which would concentrate them in one "
+    "task), one equi-join back on the span hash, one doc-keyed "
+    "reassembly agg; no window over high-cardinality keys, no "
+    "collect to the driver.",
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    span = 8
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    n_spans = F.ceil(F.size("ts") / F.lit(float(span))).cast("int")
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("ts", i * span + 1, F.lit(span)), " "
+                ),
+            )
+        ).alias("line_no", "line"),
+    )
+    # first occurrence per span: scalar-encoded (doc_id, line_no) so the
+    # min is a plain partial-aggregatable agg on both engines
+    key = (F.col("doc_id") * F.lit(1_000_000) + F.col("line_no")).alias("__key")
+    keeper = (
+        lines.select("line", key)
+        .groupBy("line")
+        .agg(F.min("__key").alias("__first"))
+    )
+    marked = (
+        lines.select("doc_id", "line_no", "line", key)
+        .join(keeper, "line")
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            (F.col("__key") == F.col("__first")).alias("keep"),
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("line_no", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

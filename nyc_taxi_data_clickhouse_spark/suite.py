@@ -73,15 +73,21 @@ import functools
 
 
 @functools.lru_cache(maxsize=1)
-def _driver_verified_names() -> frozenset[str]:
-    """Entry names already rows+schema+hash-verified by the driver in a
-    previous round (CORRECTNESS_r*.json at the repo root).
+def _driver_verified_rounds() -> dict:
+    """Map of entry name -> most recent round in which the driver
+    rows+schema+hash-verified it (CORRECTNESS_r*.json at the repo root).
 
     The driver's per-round gate only hash-checks a bounded window of
     entries taken in registration order, so ``registry()`` rotates
     not-yet-verified entries to the front: over successive rounds every
     entry lands inside the window.  An entry that appeared but failed
     (or had no oracle) does NOT count as verified — it keeps priority.
+    Within the already-verified tail, entries are ordered
+    least-recently-verified first, so the window's spare slots RE-check
+    the stalest green rows each round instead of trusting them forever
+    — round 3's events-timestamp change silently broke three entries
+    whose green rows dated to rounds 1-2, and this ordering is what
+    puts such rows back under the driver's hash gate soonest.
 
     Cached per process (the report files don't change mid-run).  Note
     the deliberate ordering dependency: registry order differs between
@@ -91,11 +97,14 @@ def _driver_verified_names() -> frozenset[str]:
     """
     import glob
     import json
+    import re
     from pathlib import Path
 
     repo_root = Path(__file__).resolve().parent.parent
-    verified: set[str] = set()
+    verified: dict[str, int] = {}
     for path in sorted(glob.glob(str(repo_root / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        round_no = int(m.group(1)) if m else 0
         try:
             report = json.loads(Path(path).read_text())
         except (OSError, ValueError):
@@ -107,8 +116,8 @@ def _driver_verified_names() -> frozenset[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                verified.add(name)
-    return frozenset(verified)
+                verified[name] = max(verified.get(name, 0), round_no)
+    return verified
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -125,9 +134,13 @@ def registry() -> dict[str, QuerySpec]:
     from nyc_taxi_data_clickhouse_spark.plans import pipeline_e2e  # noqa: F401
     from nyc_taxi_data_clickhouse_spark.operators import corpus_ops  # noqa: F401
 
-    verified = _driver_verified_names()
+    verified = _driver_verified_rounds()
+    order = list(_REGISTRY)
+    # never-verified entries first (registration order), then verified
+    # ones least-recently-verified first so the window re-checks the
+    # stalest green rows
     unverified_first = sorted(
-        _REGISTRY, key=lambda n: (n in verified, list(_REGISTRY).index(n))
+        order, key=lambda n: (n in verified, verified.get(n, 0), order.index(n))
     )
     return {name: _REGISTRY[name] for name in unverified_first}
 

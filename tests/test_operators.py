@@ -984,3 +984,37 @@ def test_decode_video_frames_exact(spark):
         assert f == r["frame_ts_ms"] // 200
         assert (r["width"], r["height"]) == (16, 16)
         assert r["pixel_sum"] == 64 * sum(2 * ((i + 5 * f + b) % 128) for b in range(4))
+
+
+def test_line_dedup_corpus_planted(spark, tmp_path):
+    """C4-style span dedup: a doc repeating an earlier doc's spans loses
+    them; the first occurrence keeps them; within-doc repeats also
+    collapse to the first."""
+    import shutil
+    from pathlib import Path
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # span width is 8 tokens; craft docs from 8-token spans
+    s1 = "a b c d e f g h"
+    s2 = "i j k l m n o p"
+    s3 = "q r s t u v w x"
+    rows = [
+        (0, f"{s1} {s2}"),          # original: keeps both
+        (1, f"{s2} {s3}"),          # s2 seen in doc 0 -> only s3 kept
+        (2, f"{s3} {s3}"),          # s3 seen in doc 1; self-repeat too
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    from nyc_taxi_data_clickhouse_spark.operators.corpus_ops import (
+        line_dedup_corpus,
+    )
+
+    out = {r["doc_id"]: r for r in line_dedup_corpus(spark, str(sf)).collect()}
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["dedup_text"] == f"{s1} {s2}"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["dedup_text"] == s3
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["dedup_text"] == ""

@@ -53,3 +53,29 @@ def test_queries_oracle_keys_consistent():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_rotation_orders_stalest_verified_first():
+    """Never-driver-verified entries come first (they need their first
+    hash check), and already-verified entries follow in ascending
+    last-verified round, so the driver window's spare slots re-check
+    the stalest green rows instead of trusting them forever."""
+    from nyc_taxi_data_clickhouse_spark import suite
+
+    order = list(suite.registry())
+    rounds = suite._driver_verified_rounds()
+
+    seen_verified = False
+    last_round = 0
+    for name in order:
+        if name not in rounds:
+            assert not seen_verified, (
+                f"never-verified entry {name} sorted after verified ones"
+            )
+        else:
+            seen_verified = True
+            assert rounds[name] >= last_round, (
+                f"{name} (r{rounds[name]}) sorted after a fresher entry "
+                f"(r{last_round})"
+            )
+            last_round = rounds[name]
