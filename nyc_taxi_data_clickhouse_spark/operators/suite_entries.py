@@ -704,3 +704,75 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(is_new).over(run).alias("session_id"),
     )
+
+
+@register(
+    "zorder_layout_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS cnt,
+           CAST(sum(l_partkey) AS BIGINT) AS sum_part,
+           CAST(sum(l_suppkey) AS BIGINT) AS sum_supp,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="X3 extension: Z-order (Morton) multi-dimensional clustering at "
+    "rest — lineitem written range-partitioned + sorted on the bit "
+    "interleave of (l_partkey, l_suppkey), read back, identity-agg "
+    "oracle proves the layout is content-preserving.  Unlike the gold "
+    "table's lexicographic sort (prunes only its leading column), "
+    "every file's min/max stays tight on BOTH dimensions, so row-group "
+    "skipping works for filters on either key — the Spark-native "
+    "analog of multi-dimensional MergeTree clustering, and the layout "
+    "a 100 TB table wants when two orthogonal predicates are common.  "
+    "The pruning claim itself is pytest-asserted from the written "
+    "files' footer stats (tests/test_scale.py).",
+)
+def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.plans.scale import write_zordered
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = scratch_dir("zorder_rt_")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], num_files=16)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_partkey").cast("bigint").alias("sum_part"),
+        F.sum("l_suppkey").cast("bigint").alias("sum_supp"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "compact_small_files",
+    """
+    SELECT event_type, count(*) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="operational path: small-file compaction — the events table is "
+    "first written as ~64 tiny files (the pathological shape streaming "
+    "ingest produces), then compact_parquet rewrites it into few "
+    "size-targeted files with clustering re-established in the same "
+    "pass; identity-agg oracle proves content is preserved and "
+    "tests/test_scale.py asserts the file count actually collapses.  "
+    "At 100 TB the small-files problem dominates lake operations "
+    "(per-file open + task-scheduling cost grows linearly with file "
+    "count); sizing output from measured source bytes keeps the "
+    "rewrite a single map-side pass per output file.",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.plans.scale import compact_parquet
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    ev = load_events(spark, sf_dir)
+    small = scratch_dir("compact_src_")
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    compacted = scratch_dir("compact_dst_")
+    compact_parquet(spark, small, compacted, target_file_mb=64, sort_cols=["ts"])
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -167,3 +167,90 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("event_type").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "streaming_late_data_drop",
+    """
+    WITH b AS (SELECT date_trunc('day', min(ts)) + INTERVAL 14 DAY AS bound
+               FROM events),
+    a AS (SELECT e.* FROM events e, b WHERE e.ts >= b.bound),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
+    r AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                 count(*) AS cnt, round(avg(value), 4) AS avg_value
+          FROM a GROUP BY 1, 2)
+    SELECT r.hour, r.event_type, r.cnt, r.avg_value
+    FROM r, wm WHERE r.hour + INTERVAL 1 HOUR <= wm.wm
+    """,
+    doc="§2.9: watermark late-data DROP semantics, end to end — the one "
+    "streaming behavior the stream==batch convergence entries cannot "
+    "see (they drain in-order data, where the watermark never fires).  "
+    "Two availableNow runs share one checkpoint: run 1 drains the "
+    "on-time half (events from day 15 on) and emits every hourly "
+    "window whose end <= max(on-time ts) - 1h (the 1h-watermark "
+    "append-mode emission rule, exercised by availableNow's final "
+    "empty batch); run 2 then delivers the first half of the month — "
+    "now entirely behind the watermark RECOVERED FROM THE CHECKPOINT — "
+    "and every row must be discarded, leaving the sink unchanged.  "
+    "Oracle: the on-time half's hourly rollup restricted to emitted "
+    "windows; any late row surviving (or any window the restart "
+    "re-emitted) breaks the hash.  Scale shape: state is (window x "
+    "event_type), eviction is watermark-bounded, and the checkpoint "
+    "carries the watermark across process restarts — the property "
+    "that makes exactly-once windowed rollups restartable at 100 TB.",
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+    )
+
+    # driver-side fixture staging: split the month into an on-time file
+    # (day >= 15) and a late file (day < 15), delivered across two runs
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = t["ts"]
+    tmin = pc.min(ts).as_py()
+    epoch = dt.datetime(1970, 1, 1)
+    if isinstance(tmin, int):  # TIMESTAMP(NANOS) surfaces as raw int64
+        tmin_dt = epoch + dt.timedelta(microseconds=tmin // 1_000)
+        bound = dt.datetime.combine(tmin_dt.date(), dt.time()) + dt.timedelta(
+            days=14
+        )
+        bound_scalar = pa.scalar(
+            int((bound - epoch).total_seconds()) * 1_000_000_000, type=ts.type
+        )
+    else:
+        bound = dt.datetime.combine(tmin.date(), dt.time()) + dt.timedelta(days=14)
+        bound_scalar = pa.scalar(bound, type=ts.type)
+    on_time_mask = pc.greater_equal(ts, bound_scalar)
+    on_time, late = t.filter(on_time_mask), t.filter(pc.invert(on_time_mask))
+
+    run_id = uuid.uuid4().hex[:8]
+    stage = tempfile.mkdtemp(prefix=f"late_stage_{run_id}_")
+    ckpt = tempfile.mkdtemp(prefix=f"late_ckpt_{run_id}_")
+    out = tempfile.mkdtemp(prefix=f"late_out_{run_id}_")
+
+    def drain():
+        stream = read_events_stream(spark, stage, max_files_per_trigger=1)
+        q = (
+            hourly_rollup_stream(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(on_time, f"{stage}/f0.parquet")
+    drain()  # run 1: on-time data; watermark ends at max(on-time) - 1h
+    pq.write_table(late, f"{stage}/f1.parquet")
+    drain()  # run 2: late file, behind the checkpointed watermark -> dropped
+    return spark.read.parquet(out)

@@ -194,3 +194,109 @@ def test_scd2_intervals_partition_each_customers_timeline(spark, rows):
             assert a["priority"] != b["priority"] or a["valid_to"] == a[
                 "valid_from"
             ], "a new interval means the priority changed (or a same-day flip)"
+
+
+# ---------------------------------------------------------------------------
+# media codec properties (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=10),
+    st.integers(1_000, 1_000_000),
+    st.integers(1, 64),
+    st.integers(1, 64),
+)
+def test_avi_container_roundtrip_preserves_frames(frames, usec, w, h):
+    """The RIFF/AVI container is a faithful envelope: parse(encode(f))
+    returns exactly the frame payloads, geometry and timing — for ANY
+    frame bytes (container correctness is independent of the codec)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_avi_codec,
+    )
+
+    enc, dec = _build_avi_codec()
+    v = dec(enc(w, h, usec, frames))
+    assert v["width"] == w and v["height"] == h
+    assert v["usec_per_frame"] == usec
+    assert v["n_frames"] == len(frames)
+    assert v["frames"] == [bytes(f) for f in frames]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.booleans(),
+    st.data(),
+)
+def test_jpeg_constant_blocks_roundtrip_exact_on_lattice(bw, bh, gray, data):
+    """Baseline JPEG round-trips bit-exactly for constant blocks whose
+    luma sits on the quantizer lattice (even Y => DC step 16 divides
+    8*(Y-128)), any block-grid geometry, grayscale or YCbCr."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    dcs = {
+        (by, bx): data.draw(st.integers(-64, 63))
+        for by in range(bh)
+        for bx in range(bw)
+    }
+    luma = {k: [v] + [0] * 63 for k, v in dcs.items()}
+    comps = [luma] if gray else [luma, {}, {}]
+    w, h = bw * 8, bh * 8
+    pw, ph, c, pixels = dec(enc(w, h, comps, [(1, 1)] * len(comps)))
+    assert (pw, ph, c) == (w, h, 1 if gray else 3)
+    # pixel (x, y) belongs to block (y//8, x//8) with constant 2*dc+128
+    for by in range(bh):
+        for bx in range(bw):
+            want = max(0, min(255, 2 * dcs[(by, bx)] + 128))
+            px = pixels[((by * 8) * w + bx * 8) * c]
+            assert px == want, (by, bx, px, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.sampled_from([1, 3, 4]),
+    st.data(),
+)
+def test_png_roundtrip_arbitrary_pixels(w, h, channels, data):
+    """PNG is lossless: an independently constructed PNG (zlib +
+    filter-0 scanlines, built here without the codec under test)
+    decodes to exactly the raw bytes that went in."""
+    import struct
+    import zlib
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    raw = bytes(
+        data.draw(st.integers(0, 255)) for _ in range(w * h * channels)
+    )
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + raw[y * w * channels : (y + 1) * w * channels]
+        for y in range(h)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_media(png, "image/png")
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert bytes(d["pixels"]) == raw
