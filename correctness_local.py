@@ -31,13 +31,31 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_local.json")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession instead of the tuned factory — "
+        "the driver's gate runs on a vanilla session, so this is the "
+        "higher-fidelity replica (catches configs that only exist in "
+        "session.get_spark)",
+    )
     args = ap.parse_args()
 
     from nyc_taxi_data_clickhouse_spark import suite
     from nyc_taxi_data_clickhouse_spark.session import get_spark
     from tests.oracle_util import compare
 
-    spark = get_spark(app_name="correctness_local")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("correctness_local_vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="correctness_local")
     spark.sparkContext.setLogLevel("ERROR")
 
     report: dict[str, dict] = {}

@@ -415,3 +415,54 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )
+
+
+@register(
+    "vocab_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 40) v),
+    flagged AS (
+      SELECT tok.doc_id,
+             CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN vocab USING (term))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="tokenizer-style vocabulary induction + per-document OOV rate: "
+    "the corpus' top-40 terms by frequency (count desc, lexicographic "
+    "tie-break — deterministic) form the vocabulary; each document "
+    "reports its token count and the fraction falling outside it — "
+    "the signal a tokenizer-budget or domain-shift filter cuts on.  "
+    "Scale shape: one term-keyed count agg (map-side combine absorbs "
+    "hot terms), the vocabulary is a TakeOrderedAndProject whose "
+    "result BROADCASTS to the membership join (the stream side never "
+    "shuffles), then one doc-keyed agg.  At real vocab sizes (50k) "
+    "the broadcast is still KBs.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(40)
+        .select("term")
+    )
+    flagged = tok.join(
+        broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left"
+    ).select("doc_id", F.when(F.col("__in").isNull(), 1).otherwise(0).alias("oov"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.round(F.sum("oov") / F.count("*"), 4).alias("oov_rate"),
+    )
