@@ -378,6 +378,14 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     km = KMeans(k=8, seed=42, featuresCol="__features", predictionCol="__cluster")
+    if feat.isEmpty():
+        # KMeans.fit on an empty table throws a deep stage failure; the
+        # graceful contract is an empty report with the output schema
+        return spark.createDataFrame(
+            [],
+            "n_points bigint, all_assigned boolean, multi_cluster boolean, "
+            "inertia_below_tss boolean",
+        )
     model = km.fit(feat)
     wcss = model.summary.trainingCost
     # Exact TSS (sum of squared deviations from the global mean) via one

@@ -84,6 +84,14 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     n = corpus.count()
+    if n == 0:
+        # Spark ML KMeans.fit throws a deep stage failure on an empty
+        # corpus; the graceful contract is "no neighbors" with the
+        # correct output schema
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     n_cells = n_cells or max(2, int(n ** 0.5 / 2))
 
     feat = corpus.select(

@@ -158,8 +158,17 @@ def run_trips_e2e(
         max_records_per_file=csv_records_per_file,
     )
     staged = read_trips_csv(spark, staging_csv)
-    write_gold(curate_trips(staged), gold_path)
-    return trips_e2e_aggregate(attach_gold(spark, gold_path))
+    curated = curate_trips(staged)
+    write_gold(curated, gold_path)
+    # attach with the known table schema (+ the layout's partition
+    # column) so the chain stays total when the input — and thus the
+    # freshly published gold table — is empty
+    from pyspark.sql import types as T
+
+    gold_schema = T.StructType(
+        list(curated.schema) + [T.StructField("pickup_month", T.StringType())]
+    )
+    return trips_e2e_aggregate(attach_gold(spark, gold_path, schema=gold_schema))
 
 
 _E2E_ORACLE = """

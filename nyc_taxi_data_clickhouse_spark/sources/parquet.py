@@ -63,12 +63,20 @@ def write_gold(
 
 
 def attach_gold(
-    spark: SparkSession, path: str, table: str | None = None
+    spark: SparkSession, path: str, table: str | None = None, schema=None
 ) -> DataFrame:
     """S6: prepared-partition attach — a published gold directory is
     queryable immediately (README.md:882-902's untar+restart becomes a
-    single read); optionally register in the catalog for SQL access."""
-    df = spark.read.parquet(path)
+    single read); optionally register in the catalog for SQL access.
+
+    ``schema`` makes the attach total: a gold table that is currently
+    EMPTY (no partitions published yet — normal for a fresh pipeline)
+    has no footer to infer from, and the known table schema is what a
+    production catalog would supply."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     if table:
         df.createOrReplaceTempView(table)
     return df

@@ -217,6 +217,8 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = t["ts"]
     tmin = pc.min(ts).as_py()
     epoch = dt.datetime(1970, 1, 1)
+    if tmin is None:  # empty events table: nothing on-time, nothing late
+        tmin = epoch
     if isinstance(tmin, int):  # TIMESTAMP(NANOS) surfaces as raw int64
         tmin_dt = epoch + dt.timedelta(microseconds=tmin // 1_000)
         bound = dt.datetime.combine(tmin_dt.date(), dt.time()) + dt.timedelta(
@@ -253,4 +255,8 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # run 1: on-time data; watermark ends at max(on-time) - 1h
     pq.write_table(late, f"{stage}/f1.parquet")
     drain()  # run 2: late file, behind the checkpointed watermark -> dropped
-    return spark.read.parquet(out)
+    # explicit schema: when no window ever finalized (e.g. empty input)
+    # the sink directory has no data files to infer from
+    return spark.read.schema(
+        "hour timestamp, event_type string, cnt bigint, avg_value double"
+    ).parquet(out)

@@ -497,7 +497,11 @@ def gold_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("ship_year")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema keeps the attach total when the write was empty
+    # (no footers to infer from) — same contract as attach_gold
+    back = spark.read.schema(
+        li.withColumn("ship_year", F.year("l_shipdate")).schema
+    ).parquet(out)
     return back.groupBy("ship_year").agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
