@@ -65,11 +65,19 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a pre-projected token-array
     column.  ``slice`` + ``array_join`` (NOT per-position element_at:
     each element_at reference re-evaluates its argument subtree per
-    element, turning shingling O(tokens²) — measured 15x slower)."""
+    element, turning shingling O(tokens²) — measured 15x slower).
+
+    Documents with fewer than ``n`` tokens have NO n-gram shingles —
+    guarded explicitly: ``sequence(1, 0)`` would otherwise count DOWN
+    to ``[1, 0]`` and feed ``slice`` the invalid start 0 (a real crash
+    on single-word / empty documents)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
+        F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
     )
 
@@ -473,7 +481,13 @@ def simhash_pairs(
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, folded in
     DOUBLE (sequential, deterministic — matches the DuckDB DOUBLE[]
-    oracle to 1 ulp)."""
+    oracle to 1 ulp).
+
+    A zero vector has no direction, so its cosine against anything is
+    defined as 0.0 (no similarity) rather than an ANSI DIVIDE_BY_ZERO
+    — zero embeddings are a normal corruption mode in real embedding
+    tables (failed encoder calls, padding rows) and must not kill the
+    whole job."""
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
@@ -481,7 +495,10 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.coalesce(
+        F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))),
+        F.lit(0.0),
+    )
 
 
 def embedding_near_dup_pairs(
