@@ -117,10 +117,19 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # persist the exploded-distinct token table: the df aggregate AND
+    # both self-join sides derive from it, and without the persist
+    # Catalyst re-executes tokenize->explode->distinct per reference —
+    # three extra corpus scans at 100 TB (the VERDICT r3 #4 Jaccard
+    # lesson applied here).  MEMORY_AND_DISK so oversized partitions
+    # spill instead of OOM; freed by session clearCache / teardown.
+    from pyspark import StorageLevel
+
     toks = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # 1-row broadcast total (analysis.py pattern) — no driver action
@@ -134,7 +143,9 @@ def term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok")
     )
     # the band table is tiny (mid-frequency vocab) — broadcast it so
-    # the corpus-sized toks table never shuffles for the semi-join
+    # the cached toks table never shuffles for the semi-join; both
+    # self-join sides re-derive `mid` from the cache (a map-only
+    # filter), so no second persist is needed
     mid = toks.join(F.broadcast(band), "tok")
     a = mid.select("doc_id", F.col("tok").alias("tok_a"))
     b = mid.select("doc_id", F.col("tok").alias("tok_b"))
