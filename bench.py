@@ -78,6 +78,9 @@ DEFAULT_QUERIES = [
     "text_repetition",
     "line_dedup_corpus",
     "text_bm25_topk",
+    "term_cooccurrence",
+    "event_transition_counts",
+    "mad_outliers",
 ]
 
 

@@ -656,6 +656,189 @@ def _build_avi_codec():
     return encode_avi, parse_avi
 
 
+def _build_gif_codec():
+    """Pure-stdlib GIF87a/89a codec: REAL variable-width LZW in both
+    directions (dictionary build + code-width growth + clear/EOI
+    handling), global color table, sub-block framing.  Non-interlaced
+    single-image GIFs; animation/interlace raise.  Returns
+    ``(encode_gif, parse_gif)`` by value for worker shipping (same
+    pattern as the JPEG/AVI factories above).
+    """
+    import struct as _struct
+
+    def _lzw_encode(indices, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out = bytearray()
+        acc = nacc = 0
+        width = min_code + 1
+
+        def put(code):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += width
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        def reset():
+            nonlocal width
+            width = min_code + 1
+            return {bytes([k]): k for k in range(1 << min_code)}, eoi + 1
+
+        put(clear)
+        table, next_code = reset()
+        prev = b""
+        for ch in bytes(indices):
+            cur = prev + bytes([ch])
+            if cur in table:
+                prev = cur
+                continue
+            put(table[prev])
+            table[cur] = next_code
+            next_code += 1
+            # width sync: the decoder's table lags the encoder's by
+            # exactly one entry (it appends while processing the NEXT
+            # code), so the encoder widens when the first code needing
+            # width+1 bits (value 2^width) has been ADDED — i.e. when
+            # next_code passes 2^width — which is the moment the
+            # decoder's own len(table) reaches 2^width before its next
+            # read (12-bit cap; emit a clear just before overflow)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            elif next_code == 4096:
+                put(clear)
+                table, next_code = reset()
+            prev = bytes([ch])
+        if prev:
+            put(table[prev])
+        put(eoi)
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        literals = [bytes([k]) for k in range(1 << min_code)]
+        table = literals + [b"", b""]
+        width = min_code + 1
+        acc = nacc = pos = 0
+        prev = None
+        out = bytearray()
+        while True:
+            while nacc < width:
+                if pos >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[pos] << nacc
+                nacc += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nacc -= width
+            if code == clear:
+                table = table[: eoi + 1]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code after clear")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+
+    def encode_gif(width, height, indices, palette):
+        """``indices``: row-major palette indices; ``palette``: bytes
+        of 3*n_colors RGB triples, n_colors a power of two >= 2."""
+        n_colors = len(palette) // 3
+        depth = max((n_colors - 1).bit_length(), 1)
+        if 3 * (1 << depth) != len(palette):
+            raise ValueError("palette length must be 3 * power-of-two")
+        min_code = max(depth, 2)  # GIF floor: min LZW code size 2
+        lsd_flags = 0x80 | ((depth - 1) & 7)  # GCT present, size bits
+        out = bytearray()
+        out += b"GIF89a"
+        out += _struct.pack("<HHBBB", width, height, lsd_flags, 0, 0)
+        out += palette
+        out += _struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(indices, min_code)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def parse_gif(payload):
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        width, height, flags, _bg, _ar = _struct.unpack_from(
+            "<HHBBB", payload, 6
+        )
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload):
+            marker = payload[pos]
+            pos += 1
+            if marker == 0x3B:
+                break
+            if marker == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if marker != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+            _l, _t, iw, ih, iflags = _struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 7) + 1)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(lzw), min_code)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            pixels = []
+            for idx in indices[: iw * ih]:
+                o = 3 * idx
+                pixels.extend(pal[o : o + 3])
+            return iw, ih, 3, pixels
+        raise ValueError("GIF missing image descriptor")
+
+    return encode_gif, parse_gif
+
+
 #: schema emitted by decode_video_frames — one row per sampled frame
 VIDEO_FRAME_SCHEMA = T.StructType(
     [
@@ -915,6 +1098,7 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
     # built here (not referenced from module scope) so the codec ships
     # by value inside this closure, same as every other parser above
     _parse_jpeg = _build_jpeg_codec()[1]
+    _parse_gif = _build_gif_codec()[1]
 
     def decode(payload, mime, fake=False):
         out = {
@@ -937,6 +1121,7 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             or head[:2] == b"BM"
             or head[:8] == b"\x89PNG\r\n\x1a\n"
             or head[:2] == b"\xff\xd8"
+            or head[:4] == b"GIF8"
         ):
             if head[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, c, pixels = _parse_png(payload)
@@ -944,6 +1129,8 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
                 w, h, c, pixels = _parse_bmp(payload)
             elif head[:2] == b"\xff\xd8":
                 w, h, c, pixels = _parse_jpeg(payload)
+            elif head[:4] == b"GIF8":
+                w, h, c, pixels = _parse_gif(payload)
             else:
                 w, h, c, pixels = _parse_netpbm(payload)
             out.update(
@@ -981,8 +1168,8 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             raise NotImplementedError(
                 f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
                 "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, "
-                "baseline JPEG, PCM WAV — or run with fake=True for a "
-                "deterministic stand-in feature"
+                "baseline JPEG, GIF87a/89a, PCM WAV — or run with "
+                "fake=True for a deterministic stand-in feature"
             )
         return out
 
@@ -1098,6 +1285,11 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       and ``pixel_sum = channels * (w*h*(id%100) + h*w*(w-1)/2 +
       w*h*(h-1)/2)`` stay closed-form in the id (n_bytes is not:
       deflate length isn't SQL-expressible).
+    - ``gif``: REAL LZW-compressed GIF89a, same ``(4 + id%5) x
+      (3 + id%7)`` geometry, 256-entry grayscale global palette
+      (entry ``k`` = ``(k,k,k)``), pixel ``(x, y)`` index
+      ``id%100 + x + y`` (max 114 — never wraps), so the decoded RGB
+      ``pixel_sum`` is the png closed form with ``channels = 3``.
     - ``audio``: mono 16-bit 16 kHz WAV, ``200 + id%50`` samples, all
       equal to ``100 + id%900``.
     - ``jpeg``: REAL baseline JFIF, 16×16, grayscale when ``id%2 == 0``
@@ -1118,13 +1310,14 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "audio", "jpeg", "video"):
+    if modality not in ("image", "png", "gif", "audio", "jpeg", "video"):
         raise ValueError(f"unknown modality {modality!r}")
 
     _encode_jpeg = (
         _build_jpeg_codec()[0] if modality in ("jpeg", "video") else None
     )
     _encode_avi = _build_avi_codec()[0] if modality == "video" else None
+    _encode_gif = _build_gif_codec()[0] if modality == "gif" else None
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -1197,6 +1390,18 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 + chunk(b"IEND", b"")
             )
 
+        def _gif(i):
+            # REAL LZW-compressed GIF89a: same (4+i%5) x (3+i%7)
+            # geometry as png, 256-entry grayscale global palette
+            # (entry k = (k,k,k)), pixel (x, y) index = i%100 + x + y
+            # (max 114 — never wraps), so the decoded RGB pixel_sum is
+            # the png closed form with channels fixed at 3
+            w, h = 4 + i % 5, 3 + i % 7
+            base = i % 100
+            palette = bytes(v for k in range(256) for v in (k, k, k))
+            idx = [base + x + y for y in range(h) for x in range(w)]
+            return _encode_gif(w, h, idx, palette)
+
         def _wav(i):
             amp, n = 100 + i % 900, 200 + i % 50
             buf = _io.BytesIO()
@@ -1238,6 +1443,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
         build = {
             "image": _ppm,
             "png": _png,
+            "gif": _gif,
             "audio": _wav,
             "jpeg": _jpeg,
             "video": _avi,

@@ -459,6 +459,46 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 7) AS BIGINT) AS n_pixels,
+           CAST(3 * ((4 + doc_id % 5) * (3 + doc_id % 7) * (doc_id % 100)
+                + (3 + doc_id % 7) * ((4 + doc_id % 5) * (3 + doc_id % 5)) / 2
+                + (4 + doc_id % 5) * ((3 + doc_id % 7) * (2 + doc_id % 7)) / 2)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL GIF decode — per-doc LZW-compressed "
+    "GIF89a (256-entry grayscale global palette, index id%100+x+y) "
+    "is sub-block-deframed and LZW-decoded (variable code width, "
+    "clear/EOI, dictionary growth) by the stdlib GIF parser inside "
+    "mapInPandas, then palette-expanded to RGB; geometry and the "
+    "exact closed-form pixel_sum = 3 * (w*h*(id%100) + h*w(w-1)/2 + "
+    "w*h(h-1)/2) must match the oracle's integer arithmetic.  Scale "
+    "shape: map-only mapInPandas, payload bytes never leave their "
+    "partition.",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "gif"), "payload", "image/gif")
+    return featurize_media(media, fake=False).select(
+        "media_id", "width", "height", "channels", "n_pixels", "pixel_sum"
+    )
+
+
+@register(
     "multimodal_jpeg_decode",
     """
     SELECT doc_id AS media_id,

@@ -300,3 +300,70 @@ def test_png_roundtrip_arbitrary_pixels(w, h, channels, data):
     d = decode_media(png, "image/png")
     assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
     assert bytes(d["pixels"]) == raw
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([2, 4, 16, 256]),
+    st.data(),
+)
+def test_gif_lzw_roundtrip_arbitrary_indices(w, h, n_colors, data):
+    """GIF is lossless over palette indices: encode_gif -> decode_media
+    reproduces every palette-expanded pixel exactly, across palette
+    sizes (2..256 colors -> LZW min code sizes 2..8) and index
+    streams with and without repetition (dictionary growth paths)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_gif_codec,
+        decode_media,
+    )
+
+    enc, _ = _build_gif_codec()
+    palette = bytes(
+        data.draw(st.integers(0, 255)) for _ in range(3 * n_colors)
+    )
+    idx = [data.draw(st.integers(0, n_colors - 1)) for _ in range(w * h)]
+    payload = enc(w, h, idx, palette)
+    d = decode_media(payload, "image/gif")
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    expected = []
+    for k in idx:
+        expected.extend(palette[3 * k : 3 * k + 3])
+    assert d["pixels"] == expected
+
+
+def test_gif_lzw_wide_codes_and_clear_reset():
+    """A large low-entropy image drives the LZW dictionary through
+    every code width up to 12 bits and past a 4096-entry clear/reset;
+    the decode must still be bit-exact (the width-handoff between
+    encoder and decoder is the classic off-by-one trap)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_gif_codec,
+        decode_media,
+    )
+
+    enc, _ = _build_gif_codec()
+    w = h = 128
+    palette = bytes(v for k in range(256) for v in (k, k, k))
+    idx = [(x * x + 3 * y) % 251 for y in range(h) for x in range(w)]
+    payload = enc(w, h, idx, palette)
+    d = decode_media(payload, "image/gif")
+    assert d["pixel_sum"] == 3 * sum(idx)
+    assert d["pixels"][:: 3] == idx
+
+
+def test_gif_truncated_payload_raises():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_gif_codec,
+        decode_media,
+    )
+    import pytest as _pytest
+
+    enc, _ = _build_gif_codec()
+    palette = bytes(v for k in range(4) for v in (k, k, k)) + bytes(
+        (255, 255, 255)
+    ) * 0
+    payload = enc(5, 4, [k % 4 for k in range(20)], palette)
+    with _pytest.raises(ValueError):
+        decode_media(payload[: len(payload) // 2], "image/gif")
