@@ -11,6 +11,7 @@ flat GROUP BYs — none of these exist there):
 - per-user event-transition matrix (Markov bigram counts)
 - snapshot diff (CDC between two table versions)
 - robust outlier detection (median/MAD, two-pass exact)
+- corpus bigram-LM surprisal (sequence-aware perplexity signal)
 
 All entries are driver-oracle-gated (exact SQL twin in DuckDB).
 """
@@ -108,9 +109,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """,
     doc="§7 corpus analytics: top-50 co-occurring term pairs over "
-    "mid-frequency vocabulary (document frequency in [2%, 20%] of "
-    "the corpus — the collocation band; stopwords above, noise "
-    "below).  The df band is the scale contract: it caps per-doc "
+    "mid-frequency vocabulary (document frequency in [1%, 90%] of "
+    "the corpus — ubiquitous boilerplate above, hapax noise below).  "
+    "The df band is the scale contract: it caps per-doc "
     "distinct terms so the doc-keyed self-join fans out O(k²) with "
     "small bounded k, never O(vocab²).  One shuffle for df, one "
     "doc-keyed equi-join, TakeOrderedAndProject top-k — no cartesian",
@@ -330,5 +331,68 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 2).alias("mad"),
             "n_outliers",
             "n",
+        )
+    )
+
+
+@register(
+    "bigram_surprisal",
+    r"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+             generate_subscripts(
+               string_split_regex(lower(trim(text)), '\s+'), 1) AS p
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+             term AS w2
+      FROM pos),
+    obs AS (SELECT doc_id, w1, w2 FROM big WHERE w1 IS NOT NULL),
+    bf AS (SELECT w1, w2, count(*) AS bc FROM obs GROUP BY w1, w2),
+    cf AS (SELECT w1, count(*) AS cc FROM obs GROUP BY w1)
+    SELECT obs.doc_id,
+           round(avg(-ln(CAST(bf.bc AS DOUBLE) / cf.cc)), 6)
+             AS bigram_surprisal,
+           count(*) AS n_bigrams
+    FROM obs JOIN bf USING (w1, w2) JOIN cf USING (w1)
+    GROUP BY obs.doc_id
+    """,
+    doc="§7 corpus LM signal: mean -ln P(w2 | w1) per document under "
+    "the corpus bigram MLE model — the sequence-aware upgrade of "
+    "unigram_surprisal for perplexity-style quality filtering "
+    "(boilerplate scores low, shuffled/garbled text scores high even "
+    "when its unigrams look normal).  Model = (w1, w2, count) and "
+    "(w1, count) relations joined back bigram-keyed; positions come "
+    "from posexplode, bigrams from one per-doc window lag.  At "
+    "100 TB the bigram table is term-hash-partitioned and the two "
+    "model joins broadcast when vocab² fits, AQE-skew-join otherwise",
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    obs = (
+        pos.select(
+            "doc_id",
+            F.lag("term").over(w).alias("w1"),
+            F.col("term").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    bf = obs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    cf = obs.groupBy("w1").agg(F.count("*").alias("cc"))
+    return (
+        obs.join(bf, ["w1", "w2"])
+        .join(cf, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("bc").cast("double") / F.col("cc"))), 6
+            ).alias("bigram_surprisal"),
+            F.count("*").alias("n_bigrams"),
         )
     )
