@@ -42,6 +42,8 @@ PROBED = [
     "text_quality",
     "line_dedup_corpus",
     "unigram_surprisal",
+    "term_cooccurrence",
+    "bigram_surprisal",
 ]
 
 
