@@ -364,3 +364,45 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_term_cooccurrence_topk_broadcast_and_cache(spark):
+    """The collocation self-join must (a) broadcast the tiny df-band
+    vocab rather than shuffling the token table for the semi-join,
+    (b) plan the top-50 as TakeOrdered, never a global sort, and
+    (c) read the shared token table from cache — without the persist
+    Catalyst re-executes tokenize->distinct once per referencing
+    subtree (the VERDICT r3 Jaccard recompute failure mode)."""
+    plan = _plan(spark, "term_cooccurrence")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """Both model joins (median, MAD per group) carry tiny per-group
+    tables — they must broadcast, never sort-merge the fact side."""
+    plan = _plan(spark, "mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """CDC diff is exactly one keyed full outer join — no extra
+    shuffle beyond the two sides' exchanges and no nested-loop plan."""
+    import re
+
+    plan = _plan(spark, "snapshot_diff")
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_transition_single_window_sort(spark):
+    """The transition matrix must reuse ONE per-user sort for both lag
+    columns (a single Window node), then hash-aggregate — never a
+    self-join of the event table."""
+    plan = _plan(spark, "event_transition_counts")
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
