@@ -375,6 +375,14 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens("text")).alias("p", "term")
     )
     w = Window.partitionBy("doc_id").orderBy("p")
+    # persist the bigram stream: the model aggregates (bf, cf) AND the
+    # scoring join all derive from it, and without the persist
+    # Catalyst re-executes posexplode + the per-doc window sort three
+    # times — three corpus scans and three sort shuffles at 100 TB
+    # (the VERDICT r3 #4 recompute failure mode).  MEMORY_AND_DISK so
+    # oversized partitions spill; freed by clearCache / teardown.
+    from pyspark import StorageLevel
+
     obs = (
         pos.select(
             "doc_id",
@@ -382,6 +390,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").alias("w2"),
         )
         .filter(F.col("w1").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bf = obs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
     cf = obs.groupBy("w1").agg(F.count("*").alias("cc"))
