@@ -68,17 +68,25 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     element, turning shingling O(tokens²) — measured 15x slower).
 
     Documents with fewer than ``n`` tokens have NO n-gram shingles —
-    guarded explicitly: ``sequence(1, 0)`` would otherwise count DOWN
+    guarded BRANCH-FREE: ``sequence(1, 0)`` would otherwise count DOWN
     to ``[1, 0]`` and feed ``slice`` the invalid start 0 (a real crash
-    on single-word / empty documents)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
+    on single-word / empty documents).  The guard clamps the index
+    list instead of wrapping the grams in a CASE WHEN: the sequence
+    upper bound is floored at 1 (always a legal ascending range) and
+    the index list is then sliced to ``max(upper, 0)`` entries, so
+    sub-``n`` docs get an empty index list and therefore an empty
+    shingle array.  A ``when(size >= n, grams)`` wrapper computes the
+    same thing but cost dedup_minhash_lsh 2.7 s -> 5.3 s at sf0.1
+    (round-4 A/B, same JVM, alternating runs) — the branch around the
+    higher-order transform defeats the projection's codegen."""
+    upper = F.size(t) - (n - 1)
+    idxs = F.slice(
+        F.sequence(F.lit(1), F.greatest(upper, F.lit(1))),
+        1,
+        F.greatest(upper, F.lit(0)),
     )
     return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
+        F.transform(idxs, lambda i: F.array_join(F.slice(t, i, n), " "))
     )
 
 
