@@ -614,11 +614,54 @@ def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _union_find_member(edges: DataFrame) -> DataFrame:
+    """(node, component) for every endpoint of a SMALL edge list via a
+    single-task union-find (``coalesce(1)`` + ``mapInPandas`` — no
+    driver collect; the state lives in one executor task).  Component
+    = min node id, matching the star fixpoint's labeling: union always
+    parents the larger root under the smaller, so every root is its
+    set's minimum."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    def uf(batches):
+        import pandas as _pd
+
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"].tolist(), pdf["hi"].tolist()):
+                seen.add(lo)
+                seen.add(hi)
+                ra, rb = find(lo), find(hi)
+                if ra == rb:
+                    continue
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        if seen:
+            ns = sorted(seen)
+            yield _pd.DataFrame(
+                {"node": ns, "component": [find(n) for n in ns]}
+            )
+
+    return edges.coalesce(1).mapInPandas(uf, schema="node long, component long")
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 40,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -637,6 +680,16 @@ def connected_components_star(
     Returns (node, component) for every node in ``pairs``; raises
     ``RuntimeError`` if ``max_rounds`` passes without a fixpoint
     (cannot happen for max_rounds > ~2 log2 n; guards miswired inputs).
+
+    ``local_finish_edges``: the hybrid finish.  Star rounds contract
+    the edge list geometrically, so the TAIL rounds run the full
+    5-job round machinery over a tiny remnant — pure per-round fixed
+    latency.  Once the edge count is at or below this threshold, one
+    single-task union-find (:func:`_union_find_member`) replaces all
+    remaining rounds: identical labels (min id per component), one job
+    instead of O(log remnant) rounds.  At 100 TB the rounds do the
+    heavy contraction and the local finish absorbs the latency-bound
+    tail; 0 disables (pure star — used by the round-contract tests).
     """
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     nodes = (
@@ -645,6 +698,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def finish_local(e: DataFrame) -> DataFrame:
+        member = _union_find_member(e)
+        return nodes.join(member, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+
+    if local_finish_edges and edges.count() <= local_finish_edges:
+        return finish_local(edges)
     prev_fp = None
     for _ in range(max_rounds):
         # ---- large-star: from each undirected edge's smaller endpoint
@@ -689,6 +751,9 @@ def connected_components_star(
             return nodes.join(member, "node", "left").select(
                 "node", F.coalesce("component", F.col("node")).alias("component")
             )
+        # hybrid finish: fp already carries the post-round edge count
+        if local_finish_edges and fp[0] <= local_finish_edges:
+            return finish_local(edges)
         prev_fp = fp
     raise RuntimeError(
         f"connected_components_star did not reach a fixpoint in "

@@ -857,9 +857,39 @@ def test_star_chain_converges_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    rows = dedup.connected_components_star(pairs, max_rounds=20).collect()
+    rows = dedup.connected_components_star(
+        pairs, max_rounds=20, local_finish_edges=0
+    ).collect()
     assert {r["component"] for r in rows} == {0}
     assert len(rows) == n
+
+
+def test_star_hybrid_finish_matches_pure_star(spark):
+    """The union-find finish — immediate (edge list under threshold)
+    and mid-loop (threshold crossed after contraction rounds) — must
+    label identically to pure star rounds."""
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    pure = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(
+            pairs, local_finish_edges=0
+        ).collect()
+    }
+    immediate = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    midloop = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(
+            pairs, local_finish_edges=100
+        ).collect()
+    }
+    assert immediate == pure
+    assert midloop == pure
 
 
 def test_star_raises_on_round_exhaustion(spark):
@@ -867,7 +897,9 @@ def test_star_raises_on_round_exhaustion(spark):
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
-        dedup.connected_components_star(pairs, max_rounds=1)
+        dedup.connected_components_star(
+            pairs, max_rounds=1, local_finish_edges=0
+        )
 
 
 def test_resize_images_geometry_and_determinism(spark):
