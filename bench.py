@@ -177,6 +177,54 @@ def next_round() -> int:
     return max(ahead) if ahead else current
 
 
+def prior_best_per_query(current_round: int) -> dict[str, float]:
+    """Best (minimum) recorded mean per query across all PRIOR rounds'
+    payloads — driver-recorded ``BENCH_r*.json`` and the committed
+    ``BENCH_local_r*.json`` — at the same sf.  This is the reference
+    point for the automatic regression tripwire (VERDICT r4 item 5):
+    round 3's "12 queries slower" scare was diagnosed by hand; now the
+    payload carries the per-query deltas itself."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    best: dict[str, float] = {}
+    for p in sorted(here.glob("BENCH_*r*.json")):
+        m = re.match(r"BENCH_(?:local_)?r(\d+)\.json$", p.name)
+        if not m or int(m.group(1)) >= current_round:
+            continue
+        try:
+            payload = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, sec in (payload.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), sec)
+    return best
+
+
+def detect_regressions(
+    per_query: dict[str, float], prior_best: dict[str, float], threshold: float = 0.15
+) -> tuple[list[str], dict[str, dict[str, float]]]:
+    """Queries slower than their best prior recording by more than
+    ``threshold`` (relative), with an absolute floor of 0.3 s so
+    millisecond-scale jitter on sub-second queries can't trip it.
+    Returns (names, detail{name: {prior, now, ratio}})."""
+    names: list[str] = []
+    detail: dict[str, dict[str, float]] = {}
+    for name, now in per_query.items():
+        prior = prior_best.get(name)
+        if prior is None:
+            continue
+        if now > prior * (1 + threshold) and now - prior > 0.3:
+            names.append(name)
+            detail[name] = {
+                "prior_best": round(prior, 4),
+                "now": round(now, 4),
+                "ratio": round(now / prior, 3),
+            }
+    return names, detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -202,6 +250,10 @@ def main() -> None:
         per_query[name] = round(r["mean"], 4)
         stds[name] = round(r["std"], 4)
 
+    round_no = next_round()
+    reg_names, reg_detail = detect_regressions(
+        per_query, prior_best_per_query(round_no)
+    )
     headline = {
         "metric": "suite_mean_sec",
         "value": round(sum(per_query.values()), 4),
@@ -210,8 +262,11 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "cpus": int(cpus),
+        # automatic tripwire: queries >15% (+0.3 s floor) slower than
+        # their best prior-round recording; empty = no regressions
+        "regressions": reg_names,
     }
-    full = dict(headline, stds=stds)
+    full = dict(headline, stds=stds, regression_detail=reg_detail)
     if scan is not None:
         full["scan"] = scan
         # headline per-core scan throughput: median across the six
@@ -225,7 +280,7 @@ def main() -> None:
         headline["scan_rows"] = scan["rows"]
         headline["scan_best_sec"] = scan["query_best_sec"]
 
-    local_path = Path(__file__).resolve().parent / f"BENCH_local_r{next_round():02d}.json"
+    local_path = Path(__file__).resolve().parent / f"BENCH_local_r{round_no:02d}.json"
     local_path.write_text(json.dumps(full, indent=2) + "\n")
     print(f"full payload -> {local_path.name}", file=sys.stderr)
     # compact headline LAST on stdout — must fit the driver's tail buffer

@@ -712,6 +712,16 @@ def _build_gif_codec():
             prev = bytes([ch])
         if prev:
             put(table[prev])
+            # the decoder appends a table entry for this final code too
+            # (it can't know no more data follows); if that append
+            # crosses the 2^width boundary the decoder widens before
+            # reading EOI, so EOI must be emitted at the wider width —
+            # giflib's encoder re-checks width after EVERY emission for
+            # exactly this reason.  Without this, any image whose last
+            # emitted match lands on a table size of 2^w-1 (first hit:
+            # small palettes, min_code=2) fails to round-trip.
+            if next_code >= (1 << width) and width < 12:
+                width += 1
         put(eoi)
         if nacc:
             out.append(acc & 0xFF)
@@ -785,6 +795,8 @@ def _build_gif_codec():
     def parse_gif(payload):
         if payload[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("bad GIF signature")
+        if len(payload) < 13:
+            raise ValueError("GIF truncated in logical screen descriptor")
         width, height, flags, _bg, _ar = _struct.unpack_from(
             "<HHBBB", payload, 6
         )
@@ -801,12 +813,21 @@ def _build_gif_codec():
                 break
             if marker == 0x21:  # extension: label byte + sub-blocks
                 pos += 1
-                while payload[pos] != 0:
+                while True:
+                    # bounds-check every block-length read: a payload
+                    # truncated mid-header must surface as the codec's
+                    # ValueError contract, not IndexError
+                    if pos >= len(payload):
+                        raise ValueError("GIF truncated in extension")
+                    if payload[pos] == 0:
+                        break
                     pos += 1 + payload[pos]
                 pos += 1
                 continue
             if marker != 0x2C:
                 raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+            if pos + 9 > len(payload):
+                raise ValueError("GIF truncated in image descriptor")
             _l, _t, iw, ih, iflags = _struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             if iflags & 0x40:
@@ -818,10 +839,16 @@ def _build_gif_codec():
                 pos += 3 * n
             if pal is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW min-code")
             min_code = payload[pos]
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF truncated in pixel sub-blocks")
+                if payload[pos] == 0:
+                    break
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln

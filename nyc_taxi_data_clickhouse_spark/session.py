@@ -59,6 +59,15 @@ def get_spark(
         # reference's MergeTree sparse index (SURVEY §1.3, X3)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # SESSION-WIDE INVARIANT: read TIMESTAMP(NANOS) parquet columns
+        # as raw int64 instead of erroring (the driver's events table
+        # stores ns).  Safe globally: the flag only changes behavior for
+        # nanos-resolution columns, which Spark otherwise REJECTS with
+        # "Illegal Parquet type" — no us/ms read is affected.  Entries
+        # that need it (suite.load_events, streaming.events) also set it
+        # idempotently so externally-created sessions (the driver's own)
+        # gain the same invariant; it is never flipped back.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # off-heap column vectors for the vectorized parquet reader:
         # ~5-10% on scan-bound aggregates (scan_profile.py: q1 0.40 ->
         # 0.35 s, q4 1.01 -> 0.92 s at 60 M rows) by keeping decoded

@@ -98,6 +98,8 @@ def read_events_stream(
         glob_filter = os.path.basename(path)
 
     if _ts_is_nanos(path):
+        # idempotent (re-)establishment of the session-wide invariant
+        # documented in session.get_spark — see suite.load_events
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _events_schema(T.LongType())
         convert = "nanos"

@@ -41,7 +41,14 @@ def load_tables(
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects by default; read nanos as long and convert to a
-    microsecond timestamp (DuckDB does the same ns->us truncation)."""
+    microsecond timestamp (DuckDB does the same ns->us truncation).
+
+    The conf set below (re-)establishes the session-wide invariant
+    documented in ``session.get_spark`` — it is idempotent, only ever
+    set to "true", never restored, and only affects nanos-resolution
+    columns (which otherwise fail to read at all).  Needed here because
+    the driver runs entries on its OWN session, not session.py's.
+    tests/test_session_invariants.py asserts no other conf leaks."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] == "bigint":

@@ -1,0 +1,51 @@
+"""Unit tests for bench.py's automatic regression tripwire
+(VERDICT r4 item 5): per-query deltas vs the best prior-round
+recording are computed inside the payload, not by hand."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parents[1] / "bench.py"
+)
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench", bench)
+_spec.loader.exec_module(bench)
+
+
+def test_flags_only_material_slowdowns():
+    prior = {"q1": 1.0, "q2": 0.1, "q3": 5.0, "q4": 2.0}
+    now = {
+        "q1": 1.5,   # +50% and +0.5s -> regression
+        "q2": 0.2,   # +100% but only +0.1s -> under the 0.3s floor
+        "q3": 5.4,   # +8% -> under the 15% threshold
+        "q4": 1.0,   # improvement -> never a regression
+        "q5": 9.9,   # no prior recording -> skipped
+    }
+    names, detail = bench.detect_regressions(now, prior)
+    assert names == ["q1"]
+    assert detail["q1"]["prior_best"] == 1.0
+    assert detail["q1"]["now"] == 1.5
+    assert detail["q1"]["ratio"] == 1.5
+
+
+def test_prior_best_reads_committed_rounds():
+    """The repo root carries BENCH_r01..r04 + locals; the per-query best
+    must be the minimum across them and exclude the current round."""
+    best = bench.prior_best_per_query(current_round=99)
+    assert "q1_group_count" in best
+    import json
+
+    mins: dict[str, float] = {}
+    for p in Path(bench.__file__).resolve().parent.glob("BENCH_*r*.json"):
+        payload = json.loads(p.read_text())
+        for k, v in (payload.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                mins[k] = min(mins.get(k, float("inf")), v)
+    assert best == mins
+
+    # excluding everything yields an empty reference set
+    assert bench.prior_best_per_query(current_round=0) == {}

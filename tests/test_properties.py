@@ -367,3 +367,41 @@ def test_gif_truncated_payload_raises():
     payload = enc(5, 4, [k % 4 for k in range(20)], palette)
     with _pytest.raises(ValueError):
         decode_media(payload[: len(payload) // 2], "image/gif")
+
+
+def test_gif_every_truncation_point_raises_valueerror():
+    """ADVICE r4: a payload truncated mid-block-header used to escape as
+    IndexError.  Sweep EVERY prefix length of a GIF that includes an
+    extension block (sub-block scan) and assert the codec's ValueError
+    contract holds at all of them — never IndexError/struct.error."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_gif_codec,
+    )
+    import pytest as _pytest
+
+    enc, parse = _build_gif_codec()
+    palette = bytes(v for k in range(4) for v in (k, k, k))
+    payload = enc(5, 4, [k % 4 for k in range(20)], palette)
+    # splice a graphic-control extension (0x21 0xF9, one 4-byte
+    # sub-block, terminator) before the image descriptor so the
+    # extension sub-block scan is on the parse path
+    # image descriptor sits right after header (13 bytes) + global
+    # color table (3 * 2^((flags&7)+1) bytes) — don't byte-search for
+    # 0x2C, it also appears inside palette/pixel data
+    flags = payload[10]
+    img_at = 13 + (3 * (2 ** ((flags & 7) + 1)) if flags & 0x80 else 0)
+    assert payload[img_at] == 0x2C
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    extended = payload[:img_at] + ext + payload[img_at:]
+    full = parse(extended)
+    assert full == parse(payload)
+    for cut in range(7, len(extended)):
+        try:
+            got = parse(extended[:cut])
+        except ValueError:
+            continue
+        # lenient-trailer: a prefix that contains the complete image
+        # but drops the 0x3B trailer parses fine — but it must parse
+        # to the SAME image, never garbage (and never escape as
+        # IndexError / struct.error, which the except above enforces)
+        assert got == full, f"cut={cut} parsed to a different image"
