@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Scaling curves for the LLM-pipeline operators (VERDICT r4 item 1).
+
+The correctness corpus is tiny (sf0.1 documents = 5k rows / 1.5 MB), so
+— exactly like scan_bench.py replicated lineitem to the reference's
+1.1 B rows — this harness replicates documents/embeddings by factors
+(default 1/4/16/64) and times the headline dedup/ANN/corpus operators
+at each size, then fits the log-log slope of time vs rows.  A slope
+near 1.0 = linear = "survives 100×"; the slope between the two LARGEST
+factors (marginal slope) is reported too, because the Spark job floor
+(~0.3-0.5 s of scheduling/codegen per query) flattens the small-factor
+points and would otherwise understate the asymptotic trend.
+
+Replication modes — the semantics of each operator dictate how scaled
+data must be constructed, or the curve measures the data, not the op:
+
+- ``verbatim`` (corpus-statistics ops: line dedup, co-occurrence, BM25,
+  bigram LM): exact copies under fresh doc_ids.  Token/df distributions
+  scale proportionally, so per-doc work is constant and the honest
+  expectation is linear.
+- ``salted`` (near-dup ops: Jaccard, MinHash-LSH, SimHash, connected
+  components): every token gets a per-replica suffix, making replicas'
+  shingle spaces DISJOINT.  Within a replica the original similarity
+  structure is preserved exactly; across replicas there are no shared
+  shingles.  The corpus therefore behaves as r independent corpora —
+  constant duplicate RATE, which is how real corpora grow.  Verbatim
+  copies would instead put r identical docs in every LSH bucket and
+  measure an O(r²) pair explosion that is a property of the fabricated
+  data, not of the bucketed algorithms.
+- ``embeddings`` (ANN ops): replicate vectors under fresh vec_ids with
+  a small deterministic per-replica perturbation so no two vectors are
+  byte-identical.
+
+Output: per-op {rows, sec} points + fitted slopes as JSON to
+``SCALING_r{N}.json`` (round autodetected like bench.py) and a
+markdown table on stdout for BENCH_NOTES.md.
+
+Env: SCALE_FACTORS (default "1,4,16,64"), SCALE_OPS (comma override),
+SCALE_BASE (default /root/testdata/sf0.1), SCALE_REPEATS (default 1,
+min-of-k if >1), SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark import suite
+from nyc_taxi_data_clickhouse_spark.session import get_spark
+from nyc_taxi_data_clickhouse_spark.schema import TESTDATA_TABLES
+
+CACHE = Path(__file__).resolve().parent / ".scale_cache"
+
+#: op -> replication mode; the mode decides which documents.parquet the
+#: factor directory exposes to the op's unchanged (spark, sf_dir) call.
+OPS = {
+    "dedup_ngram_jaccard": "salted",
+    "dedup_minhash_lsh": "salted",
+    "dedup_simhash": "salted",
+    "near_dup_components_star": "salted",
+    "line_dedup_corpus": "verbatim",
+    "term_cooccurrence": "verbatim",
+    "text_bm25_topk": "verbatim",
+    "bigram_surprisal": "verbatim",
+    "ann_topk_cosine": "embeddings",
+    "ann_ivf_topk": "embeddings",
+}
+
+
+def _replicate_docs(spark, base: str, out: Path, factor: int, salted: bool):
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    rep_docs = docs.crossJoin(reps)
+    if salted:
+        text = F.array_join(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: F.concat(t, F.lit("_"), F.col("rep")),
+            ),
+            " ",
+        )
+    else:
+        text = F.col("text")
+    (
+        rep_docs.select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).alias("n_chars"),
+        )
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+
+
+def _replicate_embeddings(spark, base: str, out: Path, factor: int):
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x + (F.col("rep") % 7) * F.lit(1e-3)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+
+
+def materialize(spark, base: str, factor: int) -> dict[str, str]:
+    """Build (or reuse) the factor's data dirs; returns mode -> sf_dir.
+    Each sf_dir exposes the replicated table plus symlinks to every
+    other base table so any op's load_table calls resolve."""
+    dirs = {}
+    for mode in ("verbatim", "salted", "embeddings"):
+        root = CACHE / f"x{factor}" / mode
+        marker = root / "_DONE"
+        if not marker.exists():
+            root.mkdir(parents=True, exist_ok=True)
+            if mode == "embeddings":
+                _replicate_embeddings(
+                    spark, base, root / "embeddings.parquet", factor
+                )
+            else:
+                _replicate_docs(
+                    spark, base, root / "documents.parquet",
+                    factor, salted=(mode == "salted"),
+                )
+            for t in TESTDATA_TABLES:
+                link = root / f"{t}.parquet"
+                if not link.exists():
+                    os.symlink(f"{base}/{t}.parquet", link)
+            marker.touch()
+        dirs[mode] = str(root)
+    return dirs
+
+
+def fit_slope(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(sec) vs log(rows-factor)."""
+    if len(points) < 2:
+        return float("nan")
+    xs = [math.log(f) for f, _ in points]
+    ys = [math.log(s) for _, s in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def round_no() -> int:
+    import re
+
+    here = Path(__file__).resolve().parent
+    driver = [
+        int(m.group(1))
+        for p in here.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    return max(driver, default=0) + 1
+
+
+def main() -> None:
+    base = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
+    factors = [
+        int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16,64").split(",")
+    ]
+    repeats = int(os.environ.get("SCALE_REPEATS", "1"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ops = {
+        k: v
+        for k, v in OPS.items()
+        if k in os.environ.get("SCALE_OPS", ",".join(OPS)).split(",")
+    }
+
+    spark = get_spark(app_name="corpus-scale-bench", master=f"local[{cpus}]")
+    reg = suite.registry()
+
+    base_rows = {
+        "doc": spark.read.parquet(f"{base}/documents.parquet").count(),
+        "emb": spark.read.parquet(f"{base}/embeddings.parquet").count(),
+    }
+
+    dirs_by_factor = {f: materialize(spark, base, f) for f in factors}
+
+    results: dict[str, dict] = {}
+    for name, mode in ops.items():
+        spec = reg[name]
+        pts: list[tuple[int, float]] = []
+        detail = {}
+        for f in factors:
+            sf_dir = dirs_by_factor[f][mode]
+            times = []
+            # one untimed warmup at the smallest factor only: catches
+            # JVM/codegen warm-up without doubling the big-factor cost
+            runs = repeats + (1 if f == factors[0] else 0)
+            for i in range(runs):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.perf_counter() - t0
+                if not (f == factors[0] and i == 0):
+                    times.append(elapsed)
+            sec = min(times)
+            pts.append((f, sec))
+            nrows = base_rows["emb" if mode == "embeddings" else "doc"] * f
+            detail[str(f)] = {"rows": nrows, "sec": round(sec, 3)}
+            print(f"{name} x{f}: {sec:.2f}s", file=sys.stderr)
+        slope = fit_slope(pts)
+        marginal = fit_slope(pts[-2:])
+        results[name] = {
+            "mode": mode,
+            "points": detail,
+            "slope_loglog": round(slope, 3),
+            "marginal_slope": round(marginal, 3),
+        }
+
+    payload = {
+        "base": base,
+        "factors": factors,
+        "repeats": repeats,
+        "cpus": int(cpus),
+        "base_rows": base_rows,
+        "ops": results,
+    }
+    out = Path(__file__).resolve().parent / f"SCALING_r{round_no():02d}.json"
+    out.write_text(json.dumps(payload, indent=2) + "\n")
+    print(f"payload -> {out.name}", file=sys.stderr)
+
+    # markdown table for BENCH_NOTES.md
+    hdr = " | ".join(f"x{f}" for f in factors)
+    print(f"| op | mode | {hdr} | slope | marginal |")
+    print("|---|---|" + "---|" * (len(factors) + 2))
+    for name, r in results.items():
+        cells = " | ".join(
+            f"{r['points'][str(f)]['sec']:.2f}" for f in factors
+        )
+        print(
+            f"| {name} | {r['mode']} | {cells} | "
+            f"{r['slope_loglog']:.2f} | {r['marginal_slope']:.2f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

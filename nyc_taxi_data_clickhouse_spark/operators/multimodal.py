@@ -18,8 +18,12 @@ pure-stdlib parser can handle:
   dezigzag + exact IDCT, arbitrary sampling factors (4:4:4 / 4:2:0 /
   ...), grayscale and JFIF YCbCr->RGB — plus a spec-complete baseline
   ENCODER (Annex K tables) used by :func:`synthesize_media` to build
-  oracle-exact fixtures (see :func:`_build_jpeg_codec`).  Progressive
-  (SOF2) and CMYK raise.
+  oracle-exact fixtures (see :func:`_build_jpeg_codec`).  PROGRESSIVE
+  (SOF2) decode is fully supported too: spectral selection, EOBn run
+  coding, and successive approximation (DC raw-bit + libjpeg-order AC
+  refinement), with a progressive test-vector encoder
+  (``encode_jpeg.progressive``).  Arithmetic-coded, lossless-mode and
+  CMYK JPEGs raise.
 - **WAV**: stdlib ``wave`` (PCM 8/16-bit, any channel count).
 - **MJPEG AVI**: RIFF container walk (``hdrl``/``avih`` geometry +
   timing, ``movi``/``00dc`` frame payloads) with per-frame baseline
@@ -112,15 +116,23 @@ def _build_jpeg_codec():
       Huffman decode with 0xFF00 unstuffing and RSTn handling,
       dequantize + dezigzag, exact separable float IDCT, arbitrary
       sampling factors (4:4:4, 4:2:0, ... via nearest upsample),
-      grayscale and YCbCr->RGB (JFIF rounding).  Progressive (SOF2)
-      and CMYK raise ``NotImplementedError``.
+      grayscale and YCbCr->RGB (JFIF rounding).  PROGRESSIVE (SOF2)
+      streams route to the dedicated ``parse_progressive`` path:
+      spectral selection, EOBn run coding, and successive
+      approximation (DC raw-bit refinement + libjpeg-order AC
+      refinement with interleaved correction bits) all decode.
+      Arithmetic-coded / lossless / hierarchical modes and CMYK raise
+      ``NotImplementedError``.
     - **encode**: writes a spec-complete JFIF stream (Annex K
       quantization + Huffman tables) from caller-supplied QUANTIZED
       coefficient blocks — DC-diff magnitude coding, AC run-length
       with ZRL/EOB, byte stuffing, optional restart intervals.  Taking
       quantized coefficients keeps the encoder exact: the synthesizer
       below picks coefficients whose decode is closed-form in the id,
-      so the lossy format round-trips bit-exactly for the oracle.
+      so the lossy format round-trips bit-exactly for the oracle.  A
+      progressive test-vector encoder is attached as
+      ``encode_jpeg.progressive`` (spectral-selection-only or full
+      successive-approximation scan scripts).
     """
     import struct as _struct
 
@@ -189,6 +201,28 @@ def _build_jpeg_codec():
     COS = [[_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
            for x in range(8)]
     C = [1 / _math.sqrt(2)] + [1.0] * 7
+
+    def _idct_block(coeffs):
+        """Separable float IDCT on DEQUANTIZED coefficients -> 64
+        clamped samples; exact for the DC-only and sparse blocks the
+        fixtures use, spec-faithful for everything else."""
+        tmp = [0.0] * 64
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    s += C[u] * coeffs[y * 8 + u] * COS[x][u]
+                tmp[y * 8 + x] = s / 2
+        outb = [0] * 64
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for v2 in range(8):
+                    s += C[v2] * tmp[v2 * 8 + x] * COS[y][v2]
+                val = int(round(s / 2)) + 128
+                outb[y * 8 + x] = 0 if val < 0 else (255 if val > 255
+                                                     else val)
+        return outb
 
     def _canonical_codes(bits, vals):
         """(value -> (length, code)) per T.81 C.2 canonical assignment."""
@@ -378,10 +412,12 @@ def _build_jpeg_codec():
                     cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                                   "tq": tq})
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif marker == 0xC2:  # SOF2: progressive -> dedicated path
+                return parse_progressive(payload)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+                    f"unsupported JPEG coding (SOF marker 0xFF{marker:02X})")
             elif marker == 0xDD:  # DRI
                 restart_interval = _struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -446,26 +482,7 @@ def _build_jpeg_codec():
                 v = (v << 1) | next_bit()
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-        def idct_block(coeffs):
-            # rows then columns; exact for the DC-only and sparse blocks
-            # the fixtures use, spec-faithful for everything else
-            tmp = [0.0] * 64
-            for y in range(8):
-                for x in range(8):
-                    s = 0.0
-                    for u in range(8):
-                        s += C[u] * coeffs[y * 8 + u] * COS[x][u]
-                    tmp[y * 8 + x] = s / 2
-            outb = [0] * 64
-            for x in range(8):
-                for y in range(8):
-                    s = 0.0
-                    for v2 in range(8):
-                        s += C[v2] * tmp[v2 * 8 + x] * COS[y][v2]
-                    val = int(round(s / 2)) + 128
-                    outb[y * 8 + x] = 0 if val < 0 else (255 if val > 255
-                                                         else val)
-            return outb
+        idct_block = _idct_block
 
         preds = [0] * len(comps)
         for m in range(mcus_x * mcus_y):
@@ -530,6 +547,616 @@ def _build_jpeg_codec():
                            max(0, min(255, b))]
         return width, height, 3, pixels
 
+    # ---- progressive decoder (ITU-T T.81 SOF2) --------------------------
+    def parse_progressive(payload):
+        """Decode progressive JPEG -> (width, height, channels, pixels).
+
+        Full spectral-selection + successive-approximation support:
+        interleaved/non-interleaved DC first + DC refinement (raw bits),
+        per-component AC band scans with EOBn run coding, and the
+        libjpeg-order AC refinement pass (correction bits interleaved
+        with newly-significant coefficients).  Coefficients accumulate
+        across scans in natural order, scaled by 2^Al as each scan
+        lands; dequantize + IDCT happen once, after EOI."""
+        quant = {}
+        huff = {}
+        comps = None
+        width = height = 0
+        restart_interval = 0
+        progressive_seen = False
+        coeff = None  # per comp: flat list (padded block grid) of [64]
+        mcus_x = mcus_y = maxh = maxv = 0
+        pos = 2
+
+        def setup(seg):
+            nonlocal comps, width, height, coeff, mcus_x, mcus_y, maxh, maxv
+            height, width = _struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(f"{len(comps)}-component JPEG")
+            maxh = max(c["h"] for c in comps)
+            maxv = max(c["v"] for c in comps)
+            mcus_x = -(-width // (8 * maxh))
+            mcus_y = -(-height // (8 * maxv))
+            coeff = []
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]  # padded (interleaved) grid
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved scans cover only the true block grid
+                c["nbw"] = -(-(-(-width * c["h"] // maxh)) // 8)
+                c["nbh"] = -(-(-(-height * c["v"] // maxv)) // 8)
+                coeff.append([[0] * 64 for _ in range(c["bw"] * c["bh"])])
+
+        def decode_scan(sel, ss, se, ah, al, dpos):
+            """Decode one scan's entropy data; returns the stream
+            offset of the marker following it."""
+            acc = nbits = 0
+            bpos = dpos
+            eobrun = 0
+            preds = [0] * len(comps)
+
+            def next_bit():
+                nonlocal acc, nbits, bpos
+                if nbits == 0:
+                    if bpos >= len(payload):
+                        raise ValueError("truncated JPEG entropy data")
+                    b = payload[bpos]
+                    bpos += 1
+                    if b == 0xFF:
+                        if bpos < len(payload) and payload[bpos] == 0x00:
+                            bpos += 1  # unstuff
+                        else:
+                            raise ValueError("hit marker inside entropy data")
+                    acc, nbits = b, 8
+                nbits -= 1
+                return (acc >> nbits) & 1
+
+            def read_huff(table):
+                code, length = 0, 0
+                while length < 16:
+                    code = (code << 1) | next_bit()
+                    length += 1
+                    v = table.get((length, code))
+                    if v is not None:
+                        return v
+                raise ValueError("invalid Huffman code")
+
+            def receive(size):
+                v = 0
+                for _ in range(size):
+                    v = (v << 1) | next_bit()
+                return v
+
+            def receive_extend(size):
+                if size == 0:
+                    return 0
+                v = receive(size)
+                return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+            def dc_first(block, ci, td):
+                size = read_huff(huff[(0, td)])
+                preds[ci] += receive_extend(size)
+                block[0] = preds[ci] << al
+
+            def dc_refine(block):
+                if next_bit():
+                    block[0] |= 1 << al
+
+            def ac_first(block, ta):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                zi = ss
+                while zi <= se:
+                    rs = read_huff(huff[(1, ta)])
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run != 15:
+                            # EOBn: total run = 2^run + ext, incl. this
+                            eobrun = (1 << run) - 1 + receive(run)
+                            break
+                        zi += 16  # ZRL
+                        continue
+                    zi += run
+                    if zi > se:
+                        raise ValueError("AC index beyond band end")
+                    block[ZZ[zi]] = receive_extend(size) << al
+                    zi += 1
+
+            def ac_refine(block, ta):
+                nonlocal eobrun
+                p1, m1 = 1 << al, -1 << al
+                zi = ss
+                if eobrun == 0:
+                    while zi <= se:
+                        rs = read_huff(huff[(1, ta)])
+                        run, size = rs >> 4, rs & 0xF
+                        val = 0
+                        if size == 0:
+                            if run != 15:
+                                eobrun = (1 << run) + receive(run)
+                                break
+                            # ZRL: pass 16 zero-history positions
+                        elif size == 1:
+                            val = p1 if next_bit() else m1
+                        else:
+                            raise ValueError("refinement size must be 1")
+                        # libjpeg walk: pass `run` zero-HISTORY slots
+                        # (nonzero slots consume a correction bit and
+                        # don't count), break AT the (run+1)-th zero —
+                        # the new coefficient's position (or, for ZRL,
+                        # the 16th zero, with nothing stored)
+                        while zi <= se:
+                            co = ZZ[zi]
+                            if block[co]:
+                                if next_bit() and not (block[co] & p1):
+                                    block[co] += p1 if block[co] > 0 else m1
+                            else:
+                                run -= 1
+                                if run < 0:
+                                    break
+                            zi += 1
+                        if val:
+                            if zi > se:
+                                raise ValueError("AC refine beyond band")
+                            block[ZZ[zi]] = val
+                        zi += 1
+                if eobrun > 0:
+                    while zi <= se:
+                        co = ZZ[zi]
+                        if block[co]:
+                            if next_bit() and not (block[co] & p1):
+                                block[co] += p1 if block[co] > 0 else m1
+                        zi += 1
+                    eobrun -= 1
+
+            interleaved = len(sel) > 1
+            if interleaved:
+                if ss != 0 or se != 0:
+                    raise ValueError("interleaved AC scan is illegal")
+                units = mcus_x * mcus_y
+            else:
+                ci0 = sel[0][0]
+                units = comps[ci0]["nbw"] * comps[ci0]["nbh"]
+
+            for u in range(units):
+                if restart_interval and u and u % restart_interval == 0:
+                    nbits = 0  # byte-align
+                    if (payload[bpos] == 0xFF
+                            and 0xD0 <= payload[bpos + 1] <= 0xD7):
+                        bpos += 2
+                        preds = [0] * len(comps)
+                        eobrun = 0
+                    else:
+                        raise ValueError("missing restart marker")
+                if interleaved:
+                    my, mx = divmod(u, mcus_x)
+                    for ci, td, ta in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = coeff[ci][
+                                    (my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx]
+                                if ah == 0:
+                                    dc_first(block, ci, td)
+                                else:
+                                    dc_refine(block)
+                else:
+                    ci, td, ta = sel[0]
+                    c = comps[ci]
+                    by, bx = divmod(u, c["nbw"])
+                    block = coeff[ci][by * c["bw"] + bx]
+                    if ss == 0:
+                        if ah == 0:
+                            dc_first(block, ci, td)
+                        else:
+                            dc_refine(block)
+                    elif ah == 0:
+                        ac_first(block, ta)
+                    else:
+                        ac_refine(block, ta)
+
+            # byte-align and locate the next marker (skip stray RSTs)
+            b = bpos
+            while b + 1 < len(payload):
+                if payload[b] == 0xFF and payload[b + 1] != 0x00:
+                    if 0xD0 <= payload[b + 1] <= 0xD7:
+                        b += 2
+                        continue
+                    return b
+                b += 1
+            raise ValueError("truncated JPEG (no marker after scan)")
+
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            while payload[pos + 1] == 0xFF:
+                pos += 1
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            seglen = _struct.unpack(">H", payload[pos:pos + 2])[0]
+            seg = payload[pos + 2:pos + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables")
+                    tbl = [0] * 64
+                    for zi in range(64):
+                        tbl[ZZ[zi]] = seg[i + 1 + zi]
+                    quant[tq] = tbl
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + n])
+                    huff[(tc, th)] = {
+                        lc: v for v, lc in _canonical_codes(bits, vals).items()
+                    }
+                    i += 17 + n
+            elif marker == 0xC2:
+                progressive_seen = True
+                setup(seg)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("mixed SOF markers in progressive stream")
+            elif marker == 0xDD:
+                restart_interval = _struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:
+                if comps is None:
+                    raise ValueError("SOS before SOF2")
+                ns = seg[0]
+                sel = []
+                for si in range(ns):
+                    cid, tda = seg[1 + 2 * si:3 + 2 * si]
+                    ci = next(i for i, c in enumerate(comps)
+                              if c["id"] == cid)
+                    sel.append((ci, tda >> 4, tda & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = decode_scan(sel, ss, se, ahal >> 4, ahal & 0xF,
+                                  pos + seglen)
+                continue
+            pos += seglen
+        if not progressive_seen or comps is None:
+            raise ValueError("truncated JPEG (no SOF2/SOS)")
+
+        planes = []
+        for ci, c in enumerate(comps):
+            qt = quant[c["tq"]]
+            pw = c["bw"] * 8
+            c["pw"] = pw
+            plane = [0] * (pw * c["bh"] * 8)
+            for bi, blk in enumerate(coeff[ci]):
+                deq = [blk[i] * qt[i] for i in range(64)]
+                px = _idct_block(deq)
+                by, bx = divmod(bi, c["bw"])
+                for yy in range(8):
+                    row = (by * 8 + yy) * pw + bx * 8
+                    plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+            planes.append(plane)
+
+        if len(comps) == 1:
+            pw = comps[0]["pw"]
+            pixels = [planes[0][y * pw + x]
+                      for y in range(height) for x in range(width)]
+            return width, height, 1, pixels
+        pixels = []
+        for y in range(height):
+            for x in range(width):
+                smp = []
+                for ci, c in enumerate(comps):
+                    sy = y * c["v"] // maxv
+                    sx = x * c["h"] // maxh
+                    smp.append(planes[ci][sy * c["pw"] + sx])
+                yv, cb, cr = smp
+                r = int(round(yv + 1.402 * (cr - 128)))
+                g = int(round(yv - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)))
+                b = int(round(yv + 1.772 * (cb - 128)))
+                pixels += [max(0, min(255, r)), max(0, min(255, g)),
+                           max(0, min(255, b))]
+        return width, height, 3, pixels
+
+    # ---- progressive encoder (test-vector / fixture source) -------------
+    #: flat-depth Huffman tables covering EVERY progressive symbol:
+    #: DC sizes 0-11 at 5 bits; AC (run,size) for run 0-15 x size 0-10
+    #: at 9 bits (includes all EOBn symbols run<<4, which Annex K's
+    #: sequential tables deliberately omit).  Canonical, Kraft-safe.
+    PROG_DC = ([0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+    PROG_AC = (
+        [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+        [(r << 4) | s for r in range(16) for s in range(11)],
+    )
+
+    def encode_jpeg_progressive(width, height, comp_blocks, sampling,
+                                successive=True):
+        """Serialize quantized coefficient blocks as a PROGRESSIVE
+        (SOF2) JFIF stream — the test-vector twin of ``encode_jpeg``.
+
+        ``successive=False``: spectral selection only — one interleaved
+        DC scan, then per-component AC band scans (1-5, 6-63) with EOBn
+        run coding.  ``successive=True``: adds successive approximation
+        — DC/AC first scans at Al=1 followed by DC raw-bit and
+        libjpeg-order AC refinement scans at Al=0 — exercising every
+        decoder path.  Inputs are identical to ``encode_jpeg``, so a
+        baseline and a progressive stream built from the same blocks
+        must decode to identical pixels."""
+        ncomp = len(comp_blocks)
+        maxh = max(h for h, _ in sampling)
+        maxv = max(v for _, v in sampling)
+        mcus_x = -(-width // (8 * maxh))
+        mcus_y = -(-height // (8 * maxv))
+
+        enc_dc = _canonical_codes(*PROG_DC)
+        enc_ac = _canonical_codes(*PROG_AC)
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+            + _struct.pack(">HHBB", 1, 1, 0, 0)
+        for tq, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA))[: 1 if ncomp == 1 else 2]:
+            out += b"\xff\xdb" + _struct.pack(">HB", 67, tq) \
+                + bytes(q[ZZ[i]] for i in range(64))
+        out += b"\xff\xc2" + _struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                          height, width, ncomp)
+        for ci in range(ncomp):
+            h, v = sampling[ci]
+            out += bytes((ci + 1, (h << 4) | v, 0 if ci == 0 else 1))
+        for tc_th, (bits, vals) in ((0x00, PROG_DC), (0x10, PROG_AC),
+                                    (0x01, PROG_DC), (0x11, PROG_AC)):
+            out += b"\xff\xc4" + _struct.pack(">HB", 19 + len(vals), tc_th) \
+                + bytes(bits) + bytes(vals)
+
+        acc, nbits = 0, 0
+
+        def put(length, code):
+            nonlocal acc, nbits
+            acc = (acc << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        def flush():
+            nonlocal acc, nbits
+            if nbits:
+                put(8 - nbits, (1 << (8 - nbits)) - 1)
+
+        def magnitude(v):
+            if v == 0:
+                return 0, 0
+            a, t = abs(v), 0
+            while a:
+                a >>= 1
+                t += 1
+            return t, (v if v >= 0 else v + (1 << t) - 1)
+
+        def sos_header(comp_ids, ss, se, ah, al):
+            ns = len(comp_ids)
+            hdr = b"\xff\xda" + _struct.pack(">HB", 6 + 2 * ns, ns)
+            for ci in comp_ids:
+                td_ta = 0 if ci == 0 else 0x11
+                hdr += bytes((ci + 1, td_ta))
+            return hdr + bytes((ss, se, (ah << 4) | al))
+
+        zero = [0] * 64
+
+        def block_at(ci, by, bx):
+            return comp_blocks[ci].get((by, bx), zero)
+
+        # true (non-padded) block grid per component — progressive AC
+        # scans are non-interleaved and cover exactly this grid
+        nbw = [-(-(-(-width * sampling[ci][0] // maxh)) // 8)
+               for ci in range(ncomp)]
+        nbh = [-(-(-(-height * sampling[ci][1] // maxv)) // 8)
+               for ci in range(ncomp)]
+
+        def dc_scan(al):
+            out.extend(sos_header(list(range(ncomp)), 0, 0, 0, al))
+            preds = [0] * ncomp
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci in range(ncomp):
+                    h, v = sampling[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = block_at(ci, my * v + by, mx * h + bx)[0]
+                            t = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                            size, bitsv = magnitude(t - preds[ci])
+                            preds[ci] = t
+                            length, code = enc_dc[size]
+                            put(length, code)
+                            if size:
+                                put(size, bitsv)
+            flush()
+
+        def dc_refine_scan(al):
+            out.extend(sos_header(list(range(ncomp)), 0, 0, al + 1, al))
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci in range(ncomp):
+                    h, v = sampling[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = block_at(ci, my * v + by, mx * h + bx)[0]
+                            put(1, (dc >> al) & 1)
+            flush()
+
+        def ac_scan(ci, ss, se, al):
+            out.extend(sos_header([ci], ss, se, 0, al))
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    length, code = enc_ac[r << 4]
+                    put(length, code)
+                    if r:
+                        put(r, eobrun - (1 << r))
+                    eobrun = 0
+
+            for by in range(nbh[ci]):
+                for bx in range(nbw[ci]):
+                    blk = block_at(ci, by, bx)
+                    # point transform: magnitude shift toward zero
+                    band = []
+                    for zi in range(ss, se + 1):
+                        v = blk[ZZ[zi]]
+                        t = abs(v) >> al
+                        band.append(-t if v < 0 else t)
+                    last_nz = -1
+                    for i in range(len(band) - 1, -1, -1):
+                        if band[i]:
+                            last_nz = i
+                            break
+                    if last_nz < 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for i in range(last_nz + 1):
+                        v = band[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            length, code = enc_ac[0xF0]
+                            put(length, code)
+                            run -= 16
+                        size, bitsv = magnitude(v)
+                        length, code = enc_ac[(run << 4) | size]
+                        put(length, code)
+                        put(size, bitsv)
+                        run = 0
+                    if last_nz < se - ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+            flush()
+
+        def ac_refine_scan(ci, ss, se, al):
+            """libjpeg encode_mcu_AC_refine order: newly-significant
+            symbols carry the already-significant coefficients'
+            correction bits along with them; blocks with no new
+            significance fold into an EOB run whose flush appends the
+            buffered correction bits."""
+            out.extend(sos_header([ci], ss, se, al + 1, al))
+            eobrun = 0
+            bit_buffer: list[int] = []
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    length, code = enc_ac[r << 4]
+                    put(length, code)
+                    if r:
+                        put(r, eobrun - (1 << r))
+                    eobrun = 0
+                for b in bit_buffer:
+                    put(1, b)
+                bit_buffer.clear()
+
+            for by in range(nbh[ci]):
+                for bx in range(nbw[ci]):
+                    blk = block_at(ci, by, bx)
+                    absb = [abs(blk[ZZ[zi]]) >> al
+                            for zi in range(ss, se + 1)]
+                    signs = [blk[ZZ[zi]] >= 0 for zi in range(ss, se + 1)]
+                    if 1 not in absb:
+                        # no newly-significant coeff: whole block rides
+                        # the EOB run; buffer its correction bits
+                        eobrun += 1
+                        for i, a in enumerate(absb):
+                            if a > 1:
+                                bit_buffer.append(a & 1)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    # this block emits symbols: flush the pending run
+                    # (its buffered bits precede our symbols)
+                    flush_eobrun()
+                    run = 0
+                    pending: list[int] = []
+                    last_new = max(i for i, a in enumerate(absb) if a == 1)
+                    for i, a in enumerate(absb):
+                        if i > last_new:
+                            break
+                        if a == 0:
+                            run += 1
+                            continue
+                        # ZRL check at ANY nonzero slot (libjpeg
+                        # jcphuff order): the decoder's ZRL walk only
+                        # counts zero-history slots, so runs >15 must
+                        # be split BEFORE buffering this slot's
+                        # correction bit, or the bit lands after a ZRL
+                        # whose walk never reaches it
+                        while run >= 16:
+                            length, code = enc_ac[0xF0]
+                            put(length, code)
+                            for b in pending:
+                                put(1, b)
+                            pending.clear()
+                            run -= 16
+                        if a > 1:  # already significant: correction bit
+                            pending.append(a & 1)
+                            continue
+                        length, code = enc_ac[(run << 4) | 1]
+                        put(length, code)
+                        put(1, 1 if signs[i] else 0)
+                        for b in pending:
+                            put(1, b)
+                        pending.clear()
+                        run = 0
+                    # tail (positions after the last newly-significant):
+                    # fold into the next EOB run with their corrections
+                    tail_bits = [a & 1 for a in absb[last_new + 1:]
+                                 if a > 1]
+                    if last_new < se - ss or tail_bits:
+                        eobrun += 1
+                        bit_buffer.extend(tail_bits)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+            flush()
+
+        if successive:
+            dc_scan(1)
+            for ci in range(ncomp):
+                ac_scan(ci, 1, 63, 1)
+            dc_refine_scan(0)
+            for ci in range(ncomp):
+                ac_refine_scan(ci, 1, 63, 0)
+        else:
+            dc_scan(0)
+            for ci in range(ncomp):
+                ac_scan(ci, 1, 5, 0)
+                ac_scan(ci, 6, 63, 0)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    encode_jpeg.progressive = encode_jpeg_progressive
     return encode_jpeg, parse_jpeg
 
 
@@ -1327,6 +1954,11 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       neutral chroma quantizes to zero, so the LOSSY format round-trips
       bit-exactly and ``pixel_sum = channels * 64 * Σ_b Y_b`` stays
       closed-form in the id.
+    - ``jpeg_progressive``: the SAME lattice (same pixels, same
+      closed form) serialized as a PROGRESSIVE (SOF2) stream — ids
+      alternate between the successive-approximation scan script and
+      spectral-selection-only, so both decoder paths are driven by
+      the oracle gate.
     - ``video``: REAL MJPEG AVI, ``2 + id%4`` frames at 5 fps
       (200 ms/frame), each frame a 16×16 grayscale JPEG on the same
       exact-quantization lattice with per-frame offset: frame ``f``
@@ -1337,11 +1969,20 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "gif", "audio", "jpeg", "video"):
+    if modality not in ("image", "png", "gif", "audio", "jpeg",
+                        "jpeg_progressive", "video"):
         raise ValueError(f"unknown modality {modality!r}")
 
     _encode_jpeg = (
-        _build_jpeg_codec()[0] if modality in ("jpeg", "video") else None
+        _build_jpeg_codec()[0]
+        if modality in ("jpeg", "jpeg_progressive", "video")
+        else None
+    )
+    # capture the progressive encoder as its own closure variable:
+    # cloudpickle ships nested functions by value, but a function
+    # ATTRIBUTE may not survive the trip to the worker
+    _encode_jpeg_prog = (
+        _encode_jpeg.progressive if modality == "jpeg_progressive" else None
     )
     _encode_avi = _build_avi_codec()[0] if modality == "video" else None
     _encode_gif = _build_gif_codec()[0] if modality == "gif" else None
@@ -1450,6 +2091,24 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             comps = [luma] if gray else [luma, {}, {}]  # {} = all-zero chroma
             return _encode_jpeg(16, 16, comps, [(1, 1)] * len(comps))
 
+        def _jpeg_prog(i):
+            # same exact-quantization lattice (and therefore the same
+            # closed-form pixel_sum) as _jpeg, serialized as a
+            # PROGRESSIVE stream; ids alternate between the
+            # successive-approximation scan script (DC Al=1 + AC Al=1
+            # + both refinement passes) and spectral-selection-only
+            gray = i % 2 == 0
+            luma = {
+                (by, bx): [(2 * ((i + by * 2 + bx) % 128) - 128) // 2] + [0] * 63
+                for by in range(2)
+                for bx in range(2)
+            }
+            comps = [luma] if gray else [luma, {}, {}]
+            return _encode_jpeg_prog(
+                16, 16, comps, [(1, 1)] * len(comps),
+                successive=(i % 4 < 2),
+            )
+
         def _frame_jpeg(i, f):
             # grayscale frame on the exact lattice: block b holds the
             # constant Y = 2*((i + 5f + b) % 128)
@@ -1473,6 +2132,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             "gif": _gif,
             "audio": _wav,
             "jpeg": _jpeg,
+            "jpeg_progressive": _jpeg_prog,
             "video": _avi,
         }[modality]
         for pdf in batches:

@@ -540,6 +540,51 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(256 AS BIGINT) AS n_pixels,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) * 64
+                * (2 * ((doc_id + 0) % 128) + 2 * ((doc_id + 1) % 128)
+                 + 2 * ((doc_id + 2) % 128) + 2 * ((doc_id + 3) % 128))
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc="§7 multimodal: REAL PROGRESSIVE (SOF2) JPEG decode — per-doc "
+    "16×16 payloads on the same exact-quantization lattice as "
+    "multimodal_jpeg_decode, but serialized as progressive scans: ids "
+    "alternate between the successive-approximation script (DC Al=1 + "
+    "AC Al=1 first scans, then DC raw-bit and libjpeg-order AC "
+    "refinement) and spectral-selection-only (banded AC with EOBn "
+    "runs).  The decoder accumulates coefficients across scans and "
+    "IDCTs once, so pixels — and the closed-form pixel_sum — are "
+    "identical to the baseline entry.  Real-corpus JPEGs are often "
+    "progressive; this closes the last declared codec boundary that "
+    "mattered at corpus scale.  Scale shape: map-only mapInPandas, "
+    "payload bytes never leave their partition.",
+)
+def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(
+        synthesize_media(ids, "jpeg_progressive"), "payload", "image/jpeg"
+    )
+    return featurize_media(media, fake=False).select(
+        "media_id", "width", "height", "channels", "n_pixels", "pixel_sum"
+    )
+
+
+@register(
     "multimodal_video_frames",
     """
     SELECT doc_id AS media_id,

@@ -519,6 +519,88 @@ _JPEG_QC = [
 ] + [99] * 32
 
 
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """A progressive (SOF2) stream built from the same quantized
+    blocks must decode to the SAME pixels as the baseline stream —
+    across grayscale / 4:4:4 / 4:2:0, dense and sparse AC content,
+    magnitude-1 coefficients (newly-significant-only refinement), and
+    both scan scripts (spectral-selection-only and full successive
+    approximation)."""
+    import random
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    rng = random.Random(7)
+
+    def rand_blocks(nby, nbx, dense=0.2, amp=30):
+        return {
+            (by, bx): [rng.randint(-60, 60)]
+            + [rng.randint(-amp, amp) if rng.random() < dense else 0
+               for _ in range(63)]
+            for by in range(nby)
+            for bx in range(nbx)
+        }
+
+    sparse = {
+        (by, bx): ([rng.randint(-20, 20)] + [0] * 62 + [rng.randint(1, 3)]
+                   if (by + bx) % 3 == 0 else [0] * 64)
+        for by in range(4)
+        for bx in range(4)
+    }
+    ones = {
+        (by, bx): [rng.choice([-1, 1]) if i % 7 == 0 else 0
+                   for i in range(64)]
+        for by in range(3)
+        for bx in range(3)
+    }
+    cases = [
+        (16, 16, [rand_blocks(2, 2)], [(1, 1)]),
+        (24, 16, [rand_blocks(2, 3), rand_blocks(2, 3, 0.1),
+                  rand_blocks(2, 3, 0.1)], [(1, 1)] * 3),
+        (32, 32, [rand_blocks(4, 4), rand_blocks(2, 2, 0.1),
+                  rand_blocks(2, 2, 0.1)], [(2, 2), (1, 1), (1, 1)]),
+        (32, 32, [sparse], [(1, 1)]),
+        (24, 24, [ones], [(1, 1)]),
+    ]
+    for w, h, blocks, samp in cases:
+        ref = dec(enc(w, h, blocks, samp))
+        for successive in (False, True):
+            prog = enc.progressive(w, h, blocks, samp,
+                                   successive=successive)
+            # SOF2 marker actually present (it IS a progressive stream)
+            assert b"\xff\xc2" in prog.split(b"\xff\xda")[0]
+            assert dec(prog) == ref, (w, h, successive)
+
+
+def test_progressive_jpeg_long_zero_runs_exercise_eobn_and_zrl():
+    """>16-zero gaps and whole-block EOB runs across many blocks force
+    ZRL and EOBn (run > 1) coding in both first and refinement scans,
+    including correction bits buffered across the run."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+    blocks = {}
+    for by in range(5):
+        for bx in range(5):
+            blk = [0] * 64
+            k = by * 5 + bx
+            if k % 4 == 0:
+                blk[0] = 8
+                blk[18] = 5   # 17 zeros after DC -> ZRL in band scans
+                blk[60] = -3  # 41-zero interior gap -> two more ZRLs
+            blocks[(by, bx)] = blk
+    ref = dec(enc(40, 40, [blocks], [(1, 1)]))
+    for successive in (False, True):
+        got = dec(enc.progressive(40, 40, [blocks], [(1, 1)],
+                                  successive=successive))
+        assert got == ref
+
+
 def test_jpeg_dc_lattice_roundtrip_exact():
     """The synthesizer contract: even-luma DC-only blocks round-trip the
     lossy format bit-exactly (quantizer step divides the coefficient)."""
@@ -611,7 +693,7 @@ def test_jpeg_420_subsampled_color():
             assert list(arr[y, x]) == want
 
 
-def test_jpeg_odd_dims_and_progressive_rejected():
+def test_jpeg_odd_dims_and_unsupported_sof_rejected():
     import numpy as np
 
     from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
@@ -633,12 +715,14 @@ def test_jpeg_odd_dims_and_progressive_rejected():
         for x in range(12):
             assert arr[y, x] == expect[(y // 8, x // 8)][y % 8, x % 8]
 
-    # progressive (SOF2) is out of scope and must say so
+    # progressive (SOF2) is now IN scope; truly-unsupported coding
+    # modes (lossless SOF3, arithmetic SOF9) must still say so
     payload = bytearray(enc(8, 8, [{(0, 0): [0] * 64}], [(1, 1)]))
     idx = payload.find(b"\xff\xc0")
-    payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
-        dec(bytes(payload))
+    for sof in (0xC3, 0xC9):
+        payload[idx + 1] = sof
+        with pytest.raises(NotImplementedError):
+            dec(bytes(payload))
 
 
 def test_featurize_media_real_decode(spark):
