@@ -81,6 +81,7 @@ DEFAULT_QUERIES = [
     "term_cooccurrence",
     "event_transition_counts",
     "mad_outliers",
+    "bigram_surprisal",
 ]
 
 
