@@ -302,39 +302,47 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§7 robust quality scoring: per-group median/MAD outlier "
     "detection (|x − median| > 3·MAD), the robust alternative to "
     "z-scores that survives the heavy-tailed value distributions "
-    "real corpus signals have.  Two exact-median passes (Spark "
-    "median = exact percentile) with the per-group medians "
-    "broadcast back — group cardinality is small (≤thousands) even "
-    "when the fact side is 100 TB, so neither join shuffles the "
-    "fact more than the groupBy already does",
+    "real corpus signals have.  Both medians are EXACT but computed "
+    "via operators.stats.exact_group_median (approx-bracket + rank "
+    "correction) instead of Spark's value-buffering percentile — "
+    "bounded executor memory and ~2× the wall of a plain count agg, "
+    "where F.median costs ~6× (profiled in BENCH_NOTES.md round 5).  "
+    "Fact and deviation tables are persisted so the two bracket "
+    "passes each read cache, never rescanning the fact; group "
+    "cardinality is small (≤thousands) even at 100 TB, so every "
+    "model join broadcasts",
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_linenumber").alias("grp"),
-        F.col("l_extendedprice").alias("x"),
-    )
-    med = li.groupBy("grp").agg(F.median("x").alias("med"))
-    # persist the deviation table: the MAD aggregate AND the final
-    # scoring aggregate both derive from it, and without the persist
-    # Catalyst re-executes the fact scan + broadcast join for each —
-    # two extra full-fact scans at 100 TB (the same VERDICT r3 #4
-    # recompute failure mode fixed in term_cooccurrence /
-    # bigram_surprisal).  MEMORY_AND_DISK so oversized partitions
-    # spill instead of OOM; freed by clearCache / teardown.
     from pyspark import StorageLevel
 
+    from nyc_taxi_data_clickhouse_spark.operators.stats import (
+        exact_group_median,
+    )
+
+    # persist both the fact projection and the deviation table: the
+    # bracket-median makes two passes over each, and the final scoring
+    # aggregate a third over dev — without the persists Catalyst
+    # re-executes the scan/join per reference (the VERDICT r3 #4
+    # recompute failure mode).  MEMORY_AND_DISK so oversized
+    # partitions spill; freed by clearCache / teardown.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_linenumber").alias("grp"),
+            F.col("l_extendedprice").alias("x"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    med = exact_group_median(li, "grp", "x", out="med")
     dev = (
         li.join(F.broadcast(med), "grp")
         .withColumn("d", F.abs(F.col("x") - F.col("med")))
         .select("grp", "med", "d")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mad = dev.groupBy("grp").agg(
-        F.first("med").alias("med"), F.median("d").alias("mad")
-    )
+    mad = exact_group_median(dev, "grp", "d", out="mad")
     return (
-        dev.select("grp", "d")
-        .join(F.broadcast(mad), "grp")
+        dev.join(F.broadcast(mad), "grp")
         .groupBy("grp", "med", "mad")
         .agg(
             F.sum(

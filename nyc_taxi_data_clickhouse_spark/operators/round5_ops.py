@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_clickhouse_spark.suite import register
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
 
 
 @register(
@@ -91,3 +91,35 @@ def streaming_session_window_append(
     )
     name = f"sessapp_{uuid.uuid4().hex[:8]}"
     return run_to_completion(agg, name, output_mode="append")
+
+
+@register(
+    "exact_median_bracket",
+    """
+    SELECT l_linenumber AS grp,
+           round(median(l_extendedprice), 4) AS med
+    FROM lineitem GROUP BY l_linenumber
+    """,
+    doc="§7 distributed order statistics: EXACT per-group median via "
+    "operators.stats.exact_group_median — approx-percentile bracket + "
+    "rank correction, the bounded-memory alternative to Spark's "
+    "value-buffering exact percentile.  The builtin buffers every "
+    "group value in one aggregation buffer (OOM at 100 TB group "
+    "sizes); the bracket path's memory is O(sketch accuracy) + "
+    "O(bracket width) regardless of group size, at the same wall "
+    "time at sf0.1 (~1.0 s both, BENCH_NOTES round 5).  Oracle: "
+    "DuckDB's exact interpolating median — any bracket-miss or "
+    "interpolation error breaks the hash",
+)
+def exact_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.stats import (
+        exact_group_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    return exact_group_median(li, "grp", "x").select(
+        "grp", F.round("med", 4).alias("med")
+    )

@@ -1,0 +1,102 @@
+"""Distributed exact order statistics.
+
+``exact_group_median`` computes the exact (interpolating) per-group
+median without Spark's value-buffering ``percentile``/``median``
+aggregate.  The built-in exact percentile collects every value of a
+group into one aggregation buffer — O(group size) executor memory and
+a serial sort per group, which is both the wall-time floor observed at
+sf0.1 (a single ``F.median`` agg costs ~1.4 s where a count agg costs
+0.24 s) and a straight-up OOM at 100 TB group sizes.
+
+The bracket trick replaces it with bounded-memory passes:
+
+1. per group: ``n`` + an approx-percentile BRACKET ``[lo, hi]`` around
+   rank n/2 (``percentile_approx``, GK sketch, O(accuracy) memory).
+   The sketch's rank error is ≤ n/accuracy, so quantiles 0.5 ± δ with
+   δ = 4/accuracy are guaranteed to bracket both middle ranks.
+2. per group: ``count(x < lo)`` and the DISTINCT values inside the
+   bracket with multiplicities — at most ~8n/accuracy ranks wide, i.e.
+   0.1% of the data at the default accuracy, shuffled as (grp, value)
+   counts (duplicates collapse, so heavy ties cost nothing).
+3. a per-group cumulative-count window over that small value set turns
+   global ranks into values; even-n medians interpolate the two middle
+   values exactly like ``F.median`` / DuckDB ``median``.
+
+Every stage is a hash aggregate or a tiny window — whole-stage
+codegen, no UDF, no per-group value buffering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_median(
+    df: DataFrame,
+    grp: str,
+    col: str,
+    accuracy: int = 10_000,
+    out: str = "med",
+) -> DataFrame:
+    """Return ``(grp, out)`` with the exact interpolating median of
+    ``col`` per group (null values ignored, like ``F.median``).
+
+    ``accuracy``: the GK-sketch accuracy for the bracketing pass; the
+    bracket then spans ≲ 8n/accuracy ranks.  Larger = tighter bracket
+    (less pass-2 data) but a bigger sketch.
+    """
+    delta = 4.0 / accuracy
+    stats = df.groupBy(grp).agg(
+        F.count(col).alias("__n"),
+        F.percentile_approx(
+            col, [0.5 - delta, 0.5 + delta], accuracy
+        ).alias("__b"),
+    ).select(
+        grp,
+        "__n",
+        F.col("__b")[0].alias("__lo"),
+        F.col("__b")[1].alias("__hi"),
+        # 1-based middle ranks: odd n -> both (n+1)/2; even -> n/2, n/2+1
+        ((F.col("__n") + 1) / 2).cast("long").alias("__r1"),
+        (F.col("__n") / 2 + 1).cast("long").alias("__r2"),
+    )
+    j = df.select(grp, col).join(F.broadcast(stats), grp)
+    below = (
+        j.filter(F.col(col) < F.col("__lo"))
+        .groupBy(grp)
+        .agg(F.count("*").alias("__lt"))
+    )
+    inb = (
+        j.filter((F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi")))
+        .groupBy(grp, col)
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy(grp).orderBy(col)
+    ranked = (
+        inb.withColumn("__cum", F.sum("__c").over(w))
+        .join(F.broadcast(below), grp, "left")
+        .na.fill({"__lt": 0})
+        .withColumn("__rank_hi", F.col("__lt") + F.col("__cum"))
+    )
+    sel = (
+        ranked.join(
+            F.broadcast(stats.select(grp, "__r1", "__r2")), grp
+        )
+        .groupBy(grp)
+        .agg(
+            F.min(
+                F.when(F.col("__rank_hi") >= F.col("__r1"), F.col(col))
+            ).alias("__v1"),
+            F.min(
+                F.when(F.col("__rank_hi") >= F.col("__r2"), F.col(col))
+            ).alias("__v2"),
+        )
+    )
+    # __v1/__v2 are the r1-th / r2-th smallest values overall: the
+    # first bracket value whose global cumulative count reaches the
+    # rank.  The GK error bound guarantees both ranks land inside the
+    # bracket, so neither is null for non-empty groups.
+    return sel.select(
+        grp, ((F.col("__v1") + F.col("__v2")) / 2).alias(out)
+    )

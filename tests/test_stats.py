@@ -1,0 +1,66 @@
+"""exact_group_median must agree with F.median (the value-buffering
+exact percentile) on every distribution shape: odd/even group sizes,
+heavy ties, negatives, singletons, and values denser than the bracket."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.stats import exact_group_median
+
+
+def _check(spark, rows, accuracy=10_000):
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    got = {
+        r["grp"]: r["med"]
+        for r in exact_group_median(df, "grp", "x", accuracy=accuracy).collect()
+    }
+    want = {
+        r["grp"]: r["want"]
+        for r in df.groupBy("grp").agg(F.median("x").alias("want")).collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=1e-9), (g, got[g], want[g])
+
+
+def test_matches_builtin_median_random(spark):
+    rng = random.Random(11)
+    rows = [
+        (g, rng.choice([rng.uniform(-100, 100), float(rng.randint(-5, 5))]))
+        for g in range(8)
+        for _ in range(50 + g * 37)  # odd and even sizes
+    ]
+    _check(spark, rows)
+
+
+def test_heavy_ties_and_singletons(spark):
+    rows = (
+        [(0, 7.0)] * 101                       # all identical
+        + [(1, 1.0)] * 50 + [(2, 3.0)]         # ties + singleton
+        + [(1, 2.0)] * 50                      # even split -> interpolate
+        + [(3, v) for v in (-3.0, -1.0, 4.0)]  # odd, negatives
+        + [(4, v) for v in (1.0, 2.0, 3.0, 10.0)]  # even -> 2.5
+    )
+    _check(spark, rows)
+
+
+def test_small_accuracy_still_exact(spark):
+    # accuracy far below the group size: the bracket is wide but the
+    # rank correction must still land on the exact interpolated median
+    rng = random.Random(5)
+    rows = [(0, rng.uniform(0, 1)) for _ in range(5000)]
+    rows += [(1, float(rng.randint(0, 3))) for _ in range(4999)]
+    _check(spark, rows, accuracy=100)
+
+
+def test_nulls_ignored_like_builtin(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, None), (0, 3.0), (0, None), (0, 2.0)],
+        ["grp", "x"],
+    )
+    got = exact_group_median(df, "grp", "x").collect()
+    assert len(got) == 1 and got[0]["med"] == 2.0
