@@ -6,17 +6,26 @@
   test/bounded-drain only because it retains all state.  This entry
   demonstrates (and oracle-gates) the emit-once/evict semantics an
   unbounded stream needs.
+- ``exact_median_bracket``: bounded-memory exact median
+  (operators/stats.py) oracle-gated against DuckDB's.
+- ``substring_dup_fraction``: exact-substring duplication signal
+  (the Lee et al. 2022 "Deduplicating Training Data" exact-substring
+  criterion, char-gram keyed instead of suffix-array).
+- ``jsonl_ingest``: permissive JSONL source with corrupt-record
+  quarantine — the ingestion format real LLM corpora arrive in.
+- ``orc_roundtrip``: ORC as a second columnar at-rest format.
 
-Reference: the reference has no streaming surface at all (SURVEY §2.9
-is an extension); the session shapes mirror its GROUP-BY-over-time
-analyses re-expressed over event time.
+Reference: the reference has no streaming/JSON/ORC surface at all
+(SURVEY §2.9/§2.1 extensions); shapes mirror its GROUP-BY analyses
+re-expressed over the driver corpus.
 """
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_clickhouse_spark.suite import load_table, register
@@ -122,4 +131,161 @@ def exact_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact_group_median(li, "grp", "x").select(
         "grp", F.round("med", 4).alias("med")
+    )
+
+
+@register(
+    "substring_dup_fraction",
+    """
+    WITH pos AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 19)) AS i
+            FROM documents WHERE length(text) >= 20)),
+    dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
+    dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (g)),
+    cov AS (
+      SELECT doc_id,
+             least(20, coalesce(lead(i) OVER (PARTITION BY doc_id
+                                              ORDER BY i),
+                                i + 20) - i) AS c
+      FROM dp),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_chars FROM cov GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(agg.dup_chars, 0) AS BIGINT) AS dup_chars,
+           length(d.text) AS n_chars,
+           round(coalesce(agg.dup_chars, 0) / greatest(length(d.text), 1),
+                 6) AS dup_fraction
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="§7 exact-substring duplication signal (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): the "
+    "fraction of each document's characters covered by a 20-char gram "
+    "that occurs more than once in the corpus (including within-doc "
+    "repeats).  Suffix arrays don't distribute; the equivalent "
+    "char-gram formulation does: explode positions, one hash-agg for "
+    "gram frequency, join back the duplicated grams, and merge "
+    "overlapping [i, i+20) intervals per doc with a lead() window "
+    "(coverage = Σ min(20, next_i - i)).  At 100 TB the gram key is "
+    "a 64-bit hash instead of the raw 20-char string (same algebra, "
+    "8× narrower shuffle; raw strings here keep the DuckDB oracle "
+    "hash-function-agnostic), and the frequency table is df-capped "
+    "like the shingle joins.  Every stage is a hash agg / equi-join / "
+    "narrow window — no suffix structure, no all-pairs",
+)
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist the exploded position table: the gram-frequency agg AND
+    # the join-back both consume it (VERDICT r3 #4 recompute rule)
+    pos = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (k - 1))
+            ).alias("i"),
+            F.expr(f"substr(text, i, {k})").alias("g"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = pos.groupBy("g").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") > 1
+    )
+    dp = pos.join(dup.select("g"), "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = dp.select(
+        "doc_id",
+        F.least(
+            F.lit(k),
+            F.coalesce(F.lead("i").over(w), F.col("i") + k) - F.col("i"),
+        ).alias("c"),
+    )
+    agg = cov.groupBy("doc_id").agg(F.sum("c").alias("dup_chars"))
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.length("text").alias("n_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.length("text"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "jsonl_ingest",
+    """
+    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="§2.1 extension source: permissive JSONL ingestion — the "
+    "format real LLM corpora arrive in (the reference ingests only "
+    "gzipped CSV).  The entry stages the documents table as JSON "
+    "lines, appends a malformed line, and reads it back with an "
+    "explicit schema in PERMISSIVE mode: bad records land in "
+    "_corrupt_record instead of failing the job or silently skewing "
+    "aggregates, and are quarantined by one filter.  Oracle: the "
+    "same per-lang rollup over the clean table — a surviving corrupt "
+    "row or a dropped good row breaks count and sum.  At 100 TB the "
+    "stage-out disappears (data already lands as JSONL); schema-on-"
+    "read with explicit types avoids the double-pass inference scan",
+)
+def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix=f"jsonl_{uuid.uuid4().hex[:8]}_")
+    docs.write.mode("overwrite").json(stage)
+    with open(os.path.join(stage, "zz_corrupt.json"), "w") as f:
+        f.write('{"doc_id": 999999999, "text": "unclosed\n')
+        f.write("not json at all\n")
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT, _corrupt_record STRING"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+    )
+    clean = raw.filter(F.col("_corrupt_record").isNull())
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT l_returnflag AS key, count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.1 extension sink/source: ORC at-rest roundtrip — Spark's "
+    "second built-in columnar format (same predicate-pushdown / "
+    "column-pruning contract as parquet, zlib-striped).  Writes the "
+    "lineitem projection as ORC, reads it back, and aggregates; the "
+    "oracle aggregates the parquet original, so any value/row drift "
+    "introduced by the format conversion breaks the hash.  Engines "
+    "downstream of Hive-era lakes still hand ORC around; an engine "
+    "claiming to replace the reference's ingest pipeline needs it",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    stage = tempfile.mkdtemp(prefix=f"orc_{uuid.uuid4().hex[:8]}_")
+    li.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return back.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
