@@ -36,7 +36,7 @@ def exact_group_median(
     df: DataFrame,
     grp: str,
     col: str,
-    accuracy: int = 10_000,
+    accuracy: int = 2_000,
     out: str = "med",
 ) -> DataFrame:
     """Return ``(grp, out)`` with the exact interpolating median of

@@ -57,6 +57,39 @@ def test_small_accuracy_still_exact(spark):
     _check(spark, rows, accuracy=100)
 
 
+def test_hypothesis_fuzz_against_builtin(spark):
+    """Property fuzz: arbitrary group sizes, magnitudes, tie densities,
+    and accuracies must all reproduce F.median exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.one_of(
+                    st.integers(-10, 10).map(float),
+                    st.floats(
+                        -1e6, 1e6, allow_nan=False, allow_infinity=False
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        accuracy=st.sampled_from([50, 2000]),
+    )
+    def run(data, accuracy):
+        _check(spark, data, accuracy=accuracy)
+
+    run()
+
+
 def test_nulls_ignored_like_builtin(spark):
     df = spark.createDataFrame(
         [(0, 1.0), (0, None), (0, 3.0), (0, None), (0, 2.0)],
