@@ -71,6 +71,10 @@ OPS = {
     "term_cooccurrence": "verbatim",
     "text_bm25_topk": "verbatim",
     "bigram_surprisal": "verbatim",
+    # verbatim makes EVERY gram corpus-duplicated — the op's worst case
+    # (join-back carries all positions), which is the honest upper
+    # bound for the curve
+    "substring_dup_fraction": "verbatim",
     "ann_topk_cosine": "embeddings",
     "ann_ivf_topk": "embeddings",
 }
