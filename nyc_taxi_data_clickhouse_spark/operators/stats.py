@@ -96,7 +96,12 @@ def exact_group_median(
     # __v1/__v2 are the r1-th / r2-th smallest values overall: the
     # first bracket value whose global cumulative count reaches the
     # rank.  The GK error bound guarantees both ranks land inside the
-    # bracket, so neither is null for non-empty groups.
-    return sel.select(
-        grp, ((F.col("__v1") + F.col("__v2")) / 2).alias(out)
+    # bracket, so neither is null for groups with data.  Groups whose
+    # values are ALL null (count(col) = 0 — F.median returns a null
+    # row for them, and so must we) have no bracket and no sel row;
+    # re-attach them from the stats table, which has every group.
+    return (
+        stats.select(grp)
+        .join(sel, grp, "left")
+        .select(grp, ((F.col("__v1") + F.col("__v2")) / 2).alias(out))
     )

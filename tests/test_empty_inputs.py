@@ -50,6 +50,14 @@ PROBED = [
     "compact_small_files",
     "asof_join",
     "tpch_q1_pricing_summary",
+    # round-5 additions
+    "exact_median_bracket",
+    "substring_dup_fraction",
+    "jsonl_ingest",
+    "orc_roundtrip",
+    "streaming_session_window_append",
+    "multimodal_progressive_jpeg",
+    "mad_outliers",
 ]
 
 

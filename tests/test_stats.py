@@ -97,3 +97,13 @@ def test_nulls_ignored_like_builtin(spark):
     )
     got = exact_group_median(df, "grp", "x").collect()
     assert len(got) == 1 and got[0]["med"] == 2.0
+
+
+def test_all_null_group_yields_null_median_row(spark):
+    """A group whose values are ALL null must surface as a null-median
+    row — exactly like F.median — not silently vanish."""
+    df = spark.createDataFrame(
+        [(0, None), (0, None), (1, 5.0)], "grp int, x double"
+    )
+    got = {r["grp"]: r["med"] for r in exact_group_median(df, "grp", "x").collect()}
+    assert got == {0: None, 1: 5.0}
