@@ -44,6 +44,10 @@ PROBED = [
     "unigram_surprisal",
     "term_cooccurrence",
     "bigram_surprisal",
+    # round-5: sub-k-char docs (no 20-grams), unicode grams, and the
+    # empty/whitespace texts through JSONL staging
+    "substring_dup_fraction",
+    "jsonl_ingest",
 ]
 
 
