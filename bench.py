@@ -118,6 +118,34 @@ def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
     }
 
 
+def bench_suite(spark, names: list[str], sf_dir: str, repeats: int):
+    """Round-robin the timed repeats across ALL queries (scan_bench's
+    interleave, applied to the suite): host background-load bursts last
+    seconds-to-minutes, so a query's back-to-back repeats all land
+    inside the same burst and its mean is garbage while its neighbors'
+    stay clean (r5: q4 mean 1.38 s vs 0.51 s steady-state — every
+    repeat sat in one burst and the regression tripwire fired on
+    noise).  Interleaving spreads any burst across all queries'
+    samples.  Pass 0 is the per-query warm-up (codegen/JIT), excluded."""
+    specs = {n: suite.registry()[n] for n in names}
+    all_times: dict[str, list[float]] = {n: [] for n in names}
+    for i in range(1 + repeats):
+        for name in names:
+            quiesce(spark)
+            t0 = time.perf_counter()
+            force(specs[name].spark(spark, sf_dir))
+            elapsed = time.perf_counter() - t0
+            if i >= 1:
+                all_times[name].append(elapsed)
+    out = {}
+    for name, times in all_times.items():
+        out[name] = {
+            "mean": statistics.mean(times),
+            "std": statistics.stdev(times) if len(times) > 1 else 0.0,
+        }
+    return out
+
+
 def bench_scan_subprocess() -> dict | None:
     """Run the scan-bound section in its own JVM (fresh heap, no suite
     garbage) and parse the payload from its last stdout line."""
@@ -178,13 +206,17 @@ def next_round() -> int:
     return max(ahead) if ahead else current
 
 
-def prior_best_per_query(current_round: int) -> dict[str, float]:
+def prior_best_per_query(
+    current_round: int, sf: float | None = None
+) -> dict[str, float]:
     """Best (minimum) recorded mean per query across all PRIOR rounds'
     payloads — driver-recorded ``BENCH_r*.json`` and the committed
-    ``BENCH_local_r*.json`` — at the same sf.  This is the reference
-    point for the automatic regression tripwire (VERDICT r4 item 5):
-    round 3's "12 queries slower" scare was diagnosed by hand; now the
-    payload carries the per-query deltas itself."""
+    ``BENCH_local_r*.json`` — restricted to payloads at the SAME sf
+    (comparing an sf0.01 smoke run against sf0.1 history would flag
+    nonsense both ways).  This is the reference point for the
+    automatic regression tripwire (VERDICT r4 item 5): round 3's
+    "12 queries slower" scare was diagnosed by hand; now the payload
+    carries the per-query deltas itself."""
     import re
 
     here = Path(__file__).resolve().parent
@@ -196,6 +228,8 @@ def prior_best_per_query(current_round: int) -> dict[str, float]:
         try:
             payload = json.loads(p.read_text())
         except (OSError, ValueError):
+            continue
+        if sf is not None and payload.get("sf") != sf:
             continue
         for name, sec in (payload.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
@@ -244,16 +278,13 @@ def main() -> None:
         if n in suite.registry()
     ]
     spark = get_spark(app_name=f"bench-{Path(sf_dir).name}", master=f"local[{cpus}]")
-    per_query: dict[str, float] = {}
-    stds: dict[str, float] = {}
-    for name in names:
-        r = bench_query(spark, name, sf_dir, repeats)
-        per_query[name] = round(r["mean"], 4)
-        stds[name] = round(r["std"], 4)
+    results = bench_suite(spark, names, sf_dir, repeats)
+    per_query = {n: round(r["mean"], 4) for n, r in results.items()}
+    stds = {n: round(r["std"], 4) for n, r in results.items()}
 
     round_no = next_round()
     reg_names, reg_detail = detect_regressions(
-        per_query, prior_best_per_query(round_no)
+        per_query, prior_best_per_query(round_no, sf=sf)
     )
     headline = {
         "metric": "suite_mean_sec",

@@ -49,3 +49,8 @@ def test_prior_best_reads_committed_rounds():
 
     # excluding everything yields an empty reference set
     assert bench.prior_best_per_query(current_round=0) == {}
+
+    # sf filter: only same-scale payloads feed the reference set
+    sf01 = bench.prior_best_per_query(current_round=99, sf=0.1)
+    assert sf01  # committed history is at sf0.1
+    assert bench.prior_best_per_query(current_round=99, sf=123.0) == {}
