@@ -75,6 +75,18 @@ OPS = {
     # (join-back carries all positions), which is the honest upper
     # bound for the curve
     "substring_dup_fraction": "verbatim",
+    # the production form (xxhash64 gram keys, 8x narrower shuffle) —
+    # measured alongside so the raw-string entry's slope has its
+    # plan-fix twin on the same axes
+    "substring_dup_hashed": "verbatim",
+}
+
+#: names not in the suite registry: resolved to custom callables
+CUSTOM = {
+    "substring_dup_hashed": lambda spark, sf_dir: __import__(
+        "nyc_taxi_data_clickhouse_spark.operators.round5_ops",
+        fromlist=["substring_dup_fraction"],
+    ).substring_dup_fraction(spark, sf_dir, key_hash=True),
     "ann_topk_cosine": "embeddings",
     "ann_ivf_topk": "embeddings",
 }
@@ -204,7 +216,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, mode in ops.items():
-        spec = reg[name]
+        run_fn = CUSTOM.get(name) or reg[name].spark
         pts: list[tuple[int, float]] = []
         detail = {}
         for f in factors:
@@ -217,7 +229,7 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
-                spec.spark(spark, sf_dir).write.format("noop").mode(
+                run_fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 elapsed = time.perf_counter() - t0
