@@ -369,6 +369,60 @@ def test_gif_truncated_payload_raises():
         decode_media(payload[: len(payload) // 2], "image/gif")
 
 
+def test_hypothesis_progressive_jpeg_equals_baseline():
+    """Property fuzz: ANY quantized coefficient content, any geometry,
+    any sampling layout — the progressive stream (both scan scripts)
+    must decode to exactly the baseline stream's pixels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_jpeg_codec,
+    )
+
+    enc, dec = _build_jpeg_codec()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.data(),
+        st.sampled_from([(8, 8), (16, 8), (24, 24), (17, 9)]),
+        st.sampled_from([1, 3]),
+        st.booleans(),
+    )
+    def run(data, wh, ncomp, successive):
+        w, h = wh
+        samp = [(1, 1)] * ncomp
+        if ncomp == 3 and data.draw(st.booleans(), label="use420"):
+            samp = [(2, 2), (1, 1), (1, 1)]
+        blocks = []
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            maxh = max(x for x, _ in samp)
+            maxv = max(y for _, y in samp)
+            nbx = -(-(-(-w * sh // maxh)) // 8)
+            nby = -(-(-(-h * sv // maxv)) // 8)
+            comp = {}
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = [0] * 64
+                    for pos in data.draw(
+                        st.lists(st.integers(0, 63), max_size=8,
+                                 unique=True),
+                        label=f"pos{ci}",
+                    ):
+                        blk[pos] = data.draw(
+                            st.integers(-40, 40), label="coef"
+                        )
+                    comp[(by, bx)] = blk
+            blocks.append(comp)
+        ref = dec(enc(w, h, blocks, samp))
+        got = dec(enc.progressive(w, h, blocks, samp,
+                                  successive=successive))
+        assert got == ref
+
+    run()
+
+
 def test_gif_every_truncation_point_raises_valueerror():
     """ADVICE r4: a payload truncated mid-block-header used to escape as
     IndexError.  Sweep EVERY prefix length of a GIF that includes an
