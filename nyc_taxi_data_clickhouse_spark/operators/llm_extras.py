@@ -284,18 +284,23 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     """
-    SELECT e.label, g.pos, round(avg(e.embedding[g.pos]), 4) AS c
+    SELECT e.label, g.pos, round(avg(e.embedding[g.pos]), 4) + 0.0 AS c
     FROM embeddings e, generate_series(1, 64) AS g(pos)
     GROUP BY e.label, g.pos
     """,
     doc="§7 embeddings: per-label mean vector (posexplode -> (key,pos) "
     "hash agg with map-side partial combine; long format avoids "
-    "order-sensitive array assembly)",
+    "order-sensitive array assembly).  Both sides add + 0.0 after the "
+    "round: a near-zero mean can round to IEEE -0.0 on one engine and "
+    "+0.0 on the other (hit at sf0.1), and a string-formatting "
+    "comparator would see two different values for an exact tie",
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_clickhouse_spark.operators.embeddings import centroids_long
 
-    return centroids_long(load_table(spark, sf_dir, "embeddings"))
+    return centroids_long(load_table(spark, sf_dir, "embeddings")).select(
+        "label", "pos", (F.col("c") + F.lit(0.0)).alias("c")
+    )
 
 
 @register(

@@ -34,7 +34,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 6):.6f}"
+        # + 0.0 collapses IEEE negative zero: a mean of -4e-8 rounds
+        # to -0.0 on one engine and +0.0 on the other (observed at
+        # sf0.1 in embedding_centroids), and "%.6f" would format them
+        # as distinct strings for numerically-equal values
+        return f"{round(v, 6) + 0.0:.6f}"
     if isinstance(v, dt.datetime):
         # duckdb's pandas bridge widens DATE to midnight Timestamp;
         # collapse midnight datetimes to the date so both sides agree
