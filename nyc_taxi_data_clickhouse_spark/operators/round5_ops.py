@@ -125,12 +125,52 @@ def exact_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_group_median,
     )
 
+    # deliberately UNpersisted: the three bracket passes each re-scan
+    # a cheap 2-column parquet projection (~0.25 s), which measured
+    # FASTER than paying the 6M-row cache write up front (1.5 s vs
+    # 0.9 s end-to-end) — persist pays off only when the input is an
+    # expensive subtree, as in mad_outliers' deviation table
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_linenumber").alias("grp"),
         F.col("l_extendedprice").alias("x"),
     )
     return exact_group_median(li, "grp", "x").select(
         "grp", F.round("med", 4).alias("med")
+    )
+
+
+@register(
+    "exact_quantiles_bracket",
+    """
+    SELECT l_linenumber AS grp,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_linenumber
+    """,
+    doc="§7 distributed order statistics, general form: EXACT "
+    "interpolating per-group P25/P90 via "
+    "operators.stats.exact_group_quantile — the arbitrary-q "
+    "generalization of the bracket median (adds predecessor/successor "
+    "widening because off-center target ranks can fall just outside "
+    "a collapsed small-group bracket).  Oracle: DuckDB quantile_cont, "
+    "the same percentile_cont semantics as Spark's F.percentile; any "
+    "bracket miss or interpolation-weight error breaks the hash",
+)
+def exact_quantiles_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.stats import (
+        exact_group_quantile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    p25 = exact_group_quantile(li, "grp", "x", q=0.25, out="p25")
+    p90 = exact_group_quantile(li, "grp", "x", q=0.90, out="p90")
+    return p25.join(p90, "grp").select(
+        "grp",
+        F.round("p25", 4).alias("p25"),
+        F.round("p90", 4).alias("p90"),
     )
 
 

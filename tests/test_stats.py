@@ -9,7 +9,10 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_clickhouse_spark.operators.stats import exact_group_median
+from nyc_taxi_data_clickhouse_spark.operators.stats import (
+    exact_group_median,
+    exact_group_quantile,
+)
 
 
 def _check(spark, rows, accuracy=10_000):
@@ -55,6 +58,33 @@ def test_small_accuracy_still_exact(spark):
     rows = [(0, rng.uniform(0, 1)) for _ in range(5000)]
     rows += [(1, float(rng.randint(0, 3))) for _ in range(4999)]
     _check(spark, rows, accuracy=100)
+
+
+def test_quantiles_match_builtin_percentile(spark):
+    """exact_group_quantile must reproduce F.percentile (interpolating
+    percentile_cont) at arbitrary q, including the boundaries."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (g, rng.choice([float(rng.randint(-4, 4)), rng.uniform(-50, 50)]))
+        for g in range(5)
+        for _ in range(30 + 17 * g)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    for q in (0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+        got = {
+            r["grp"]: r["q"]
+            for r in exact_group_quantile(df, "grp", "x", q=q).collect()
+        }
+        want = {
+            r["grp"]: r["want"]
+            for r in df.groupBy("grp")
+            .agg(F.percentile("x", F.lit(q)).alias("want"))
+            .collect()
+        }
+        for g in want:
+            assert got[g] == pytest.approx(want[g], abs=1e-9), (q, g)
 
 
 def test_hypothesis_fuzz_against_builtin(spark):
