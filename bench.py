@@ -82,6 +82,8 @@ DEFAULT_QUERIES = [
     "event_transition_counts",
     "mad_outliers",
     "bigram_surprisal",
+    "exact_median_bracket",
+    "substring_dup_fraction",
 ]
 
 
