@@ -214,7 +214,12 @@ def prior_best_per_query(
             continue
         if sf is not None and payload.get("sf") != sf:
             continue
-        for name, sec in (payload.get("queries") or {}).items():
+        # Compare like with like: the current run trips on per-query
+        # BEST repeats, so prefer the prior payload's recorded "best"
+        # dict (present from r5 locals onward); fall back to the
+        # per-query means for legacy rounds that only stored those.
+        source = payload.get("best") or payload.get("queries") or {}
+        for name, sec in source.items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), sec)
     return best

@@ -79,16 +79,18 @@ OPS = {
     # measured alongside so the raw-string entry's slope has its
     # plan-fix twin on the same axes
     "substring_dup_hashed": "verbatim",
+    # ANN ops scale on the replicated embeddings table, not documents
+    "ann_topk_cosine": "embeddings",
+    "ann_ivf_topk": "embeddings",
 }
 
-#: names not in the suite registry: resolved to custom callables
+#: names not in the suite registry: resolved to custom callables.
+#: Strictly name -> callable; replication modes belong in OPS.
 CUSTOM = {
     "substring_dup_hashed": lambda spark, sf_dir: __import__(
         "nyc_taxi_data_clickhouse_spark.operators.round5_ops",
         fromlist=["substring_dup_fraction"],
     ).substring_dup_fraction(spark, sf_dir, key_hash=True),
-    "ann_topk_cosine": "embeddings",
-    "ann_ivf_topk": "embeddings",
 }
 
 
