@@ -83,7 +83,10 @@ DEFAULT_QUERIES = [
     "mad_outliers",
     "bigram_surprisal",
     "exact_median_bracket",
-    "substring_dup_fraction",
+    # the PRODUCTION hashed-gram form (VERDICT r6 item 6): the raw-key
+    # twin `substring_dup_fraction` stays oracle-gated but off the
+    # headline — its 20-char shuffle key overstated the operator's cost
+    "substring_dup_fraction_hashed",
 ]
 
 
@@ -218,7 +221,18 @@ def prior_best_per_query(
         # BEST repeats, so prefer the prior payload's recorded "best"
         # dict (present from r5 locals onward); fall back to the
         # per-query means for legacy rounds that only stored those.
-        source = payload.get("best") or payload.get("queries") or {}
+        # Driver-recorded BENCH_r*.json payloads nest the headline
+        # under "parsed" (means only), so fall back there too —
+        # otherwise rounds without a committed local payload
+        # contribute no history at all.
+        parsed = payload.get("parsed") or {}
+        source = (
+            payload.get("best")
+            or payload.get("queries")
+            or parsed.get("best")
+            or parsed.get("queries")
+            or {}
+        )
         for name, sec in source.items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), sec)

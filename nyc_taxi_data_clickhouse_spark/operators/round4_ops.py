@@ -333,14 +333,16 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    med = exact_group_median(li, "grp", "x", out="med")
+    # 7 known groups (l_linenumber): broadcast_stats=True asserts the
+    # bounded cardinality and skips the gate's guard job
+    med = exact_group_median(li, "grp", "x", out="med", broadcast_stats=True)
     dev = (
         li.join(F.broadcast(med), "grp")
         .withColumn("d", F.abs(F.col("x") - F.col("med")))
         .select("grp", "med", "d")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mad = exact_group_median(dev, "grp", "d", out="mad")
+    mad = exact_group_median(dev, "grp", "d", out="mad", broadcast_stats=True)
     return (
         dev.join(F.broadcast(mad), "grp")
         .groupBy("grp", "med", "mad")

@@ -22,12 +22,13 @@ re-expressed over the driver corpus.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir, track_persist
 from nyc_taxi_data_clickhouse_spark.suite import load_table, register
 
 
@@ -134,7 +135,9 @@ def exact_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("grp"),
         F.col("l_extendedprice").alias("x"),
     )
-    return exact_group_median(li, "grp", "x").select(
+    # l_linenumber has 7 distinct values — group cardinality is known
+    # bounded, so assert it and skip the broadcast-gate guard job
+    return exact_group_median(li, "grp", "x", broadcast_stats=True).select(
         "grp", F.round("med", 4).alias("med")
     )
 
@@ -165,8 +168,10 @@ def exact_quantiles_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("grp"),
         F.col("l_extendedprice").alias("x"),
     )
-    p25 = exact_group_quantile(li, "grp", "x", q=0.25, out="p25")
-    p90 = exact_group_quantile(li, "grp", "x", q=0.90, out="p90")
+    # 7 known groups (l_linenumber): assert bounded cardinality,
+    # skip the broadcast-gate guard job
+    p25 = exact_group_quantile(li, "grp", "x", q=0.25, out="p25", broadcast_stats=True)
+    p90 = exact_group_quantile(li, "grp", "x", q=0.90, out="p90", broadcast_stats=True)
     return p25.join(p90, "grp").select(
         "grp",
         F.round("p25", 4).alias("p25"),
@@ -174,9 +179,11 @@ def exact_quantiles_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "substring_dup_fraction",
-    """
+# shared by the raw-key and hashed-key registrations: the gram key only
+# decides gram EQUALITY, and xxhash64 equality == string equality up to
+# a ~1e-19·n² collision, so both forms produce identical output and the
+# same DuckDB oracle gates both.
+_SSDF_ORACLE = """
     WITH pos AS (
       SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS g
       FROM (SELECT doc_id, text,
@@ -196,7 +203,12 @@ def exact_quantiles_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(agg.dup_chars, 0) / greatest(length(d.text), 1),
                  6) AS dup_fraction
     FROM documents d LEFT JOIN agg USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "substring_dup_fraction",
+    _SSDF_ORACLE,
     doc="§7 exact-substring duplication signal (Lee et al. 2022, "
     "'Deduplicating Training Data Makes Language Models Better'): the "
     "fraction of each document's characters covered by a 20-char gram "
@@ -222,23 +234,22 @@ def substring_dup_fraction(
     OVERcounts coverage by one gram).  The oracle-gated entry keeps
     the raw string so the DuckDB twin needs no matching hash
     function; the scaling harness measures both forms."""
-    from pyspark import StorageLevel
-
     k = 20
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     gram = F.expr(f"substr(text, i, {k})")
     # persist the exploded position table: the gram-frequency agg AND
-    # the join-back both consume it (VERDICT r3 #4 recompute rule)
-    pos = (
-        docs.filter(F.length("text") >= k)
-        .select(
+    # the join-back both consume it (VERDICT r3 #4 recompute rule).
+    # track_persist bounds the cache to one live copy across repeated
+    # calls (the lazily-consumed result forbids in-body unpersist).
+    pos = track_persist(
+        f"ssdf_pos_{key_hash}_{Path(sf_dir).name}",
+        docs.filter(F.length("text") >= k).select(
             "doc_id",
             F.explode(
                 F.sequence(F.lit(1), F.length("text") - (k - 1))
             ).alias("i"),
             (F.xxhash64(gram) if key_hash else gram).alias("g"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
     )
     dup = pos.groupBy("g").agg(F.count("*").alias("__n")).filter(
         F.col("__n") > 1
@@ -269,6 +280,23 @@ def substring_dup_fraction(
 
 
 @register(
+    "substring_dup_fraction_hashed",
+    _SSDF_ORACLE,
+    doc="PRODUCTION form of substring_dup_fraction (VERDICT r6 item 6): "
+    "gram key = xxhash64(gram), an 8-byte shuffle key instead of a "
+    "20-char string — ~8× narrower frequency shuffle and join-back, "
+    "0.66 marginal scaling slope vs 1.15 for the raw form "
+    "(SCALING_r05.json).  Output is identical to the raw form (the key "
+    "only decides gram equality; a 64-bit collision is ~1e-19·n² and "
+    "only ever overcounts one gram), so the SAME DuckDB oracle gates "
+    "it.  This is the form the headline bench times; the raw entry "
+    "stays as the hash-agnostic twin",
+)
+def substring_dup_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_fraction(spark, sf_dir, key_hash=True)
+
+
+@register(
     "jsonl_ingest",
     """
     SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -290,7 +318,9 @@ def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     docs = load_table(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix=f"jsonl_{uuid.uuid4().hex[:8]}_")
+    # atexit-reaped scratch dir — repeated suite/bench runs leave /tmp
+    # flat (VERDICT r6 item 4)
+    stage = scratch_dir("jsonl_")
     docs.write.mode("overwrite").json(stage)
     with open(os.path.join(stage, "zz_corrupt.json"), "w") as f:
         f.write('{"doc_id": 999999999, "text": "unclosed\n')
@@ -332,7 +362,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    stage = tempfile.mkdtemp(prefix=f"orc_{uuid.uuid4().hex[:8]}_")
+    stage = scratch_dir("orc_")
     li.write.mode("overwrite").orc(stage)
     back = spark.read.orc(stage)
     return back.groupBy(F.col("l_returnflag").alias("key")).agg(

@@ -23,7 +23,11 @@ The bracket trick replaces it with bounded-memory passes:
    ``quantile_cont``.
 
 Every stage is a hash aggregate or a tiny window — whole-stage
-codegen, no UDF, no per-group value buffering.
+codegen, no UDF, no per-group value buffering.  The per-group side
+tables (stats / below / above) are broadcast only under a group-count
+bound (``BROADCAST_GROUP_BOUND``; see ``_group_table_hint``) — above
+it they shuffle-join on the group key, so high group cardinality can
+never turn the broadcast into a driver-memory hazard.
 
 Why two functions: at q = 0.5 the straddle ranks n/2 and n/2+1 sit
 symmetrically around the bracket center, so quantiles 0.5 ± δ are
@@ -39,8 +43,37 @@ filtered pass) — two more cheap stages.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Broadcast the per-group side tables only below this group count.
+# At ~100 B/row of (key, n, lo, hi, r1, r2) this is ≈50 MB — inside
+# the session's 64 MB autoBroadcastJoinThreshold with headroom.
+# Above it, broadcasting a per-group table is a driver-collect/OOM
+# hazard, so the joins fall back to shuffle joins (still hash joins
+# on the group key; AQE may re-plan them at runtime).
+BROADCAST_GROUP_BOUND = 500_000
+
+
+def _group_table_hint(
+    stats: DataFrame,
+    broadcast_stats: bool | None,
+    bound: int | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Return the hint applied to every per-group side table (stats /
+    below / above — all ≤ group cardinality, so one decision covers
+    them).  ``broadcast_stats``: True forces the broadcast hint (the
+    caller asserts bounded group cardinality), False forces shuffle
+    joins, None (default) runs one cheap guard job — a count of the
+    aggregated stats table, early-capped at ``bound + 1`` — so high
+    group cardinality can never be silently broadcast."""
+    if bound is None:
+        bound = BROADCAST_GROUP_BOUND
+    if broadcast_stats is None:
+        broadcast_stats = stats.limit(bound + 1).count() <= bound
+    return F.broadcast if broadcast_stats else (lambda d: d)
 
 
 def exact_group_median(
@@ -49,6 +82,7 @@ def exact_group_median(
     col: str,
     accuracy: int = 2_000,
     out: str = "med",
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """Return ``(grp, out)`` with the exact interpolating median of
     ``col`` per group (nulls ignored; all-null groups yield a null
@@ -57,6 +91,10 @@ def exact_group_median(
     ``accuracy``: the GK-sketch accuracy for the bracketing pass; the
     bracket then spans ≲ 8n/accuracy ranks.  Larger = tighter bracket
     (less pass-2 data) but a bigger sketch.
+
+    ``broadcast_stats``: True = hint-broadcast the per-group side
+    tables (caller asserts group cardinality ≤ BROADCAST_GROUP_BOUND),
+    False = shuffle joins, None = one cheap guard job decides.
     """
     delta = 4.0 / accuracy
     stats = df.groupBy(grp).agg(
@@ -73,7 +111,8 @@ def exact_group_median(
         ((F.col("__n") + 1) / 2).cast("long").alias("__r1"),
         (F.col("__n") / 2 + 1).cast("long").alias("__r2"),
     )
-    j = df.select(grp, col).join(F.broadcast(stats), grp)
+    hint = _group_table_hint(stats, broadcast_stats)
+    j = df.select(grp, col).join(hint(stats), grp)
     below = (
         j.filter(F.col(col) < F.col("__lo"))
         .groupBy(grp)
@@ -87,13 +126,13 @@ def exact_group_median(
     w = Window.partitionBy(grp).orderBy(col)
     ranked = (
         inb.withColumn("__cum", F.sum("__c").over(w))
-        .join(F.broadcast(below), grp, "left")
+        .join(hint(below), grp, "left")
         .na.fill({"__lt": 0})
         .withColumn("__rank_hi", F.col("__lt") + F.col("__cum"))
     )
     sel = (
         ranked.join(
-            F.broadcast(stats.select(grp, "__r1", "__r2")), grp
+            hint(stats.select(grp, "__r1", "__r2")), grp
         )
         .groupBy(grp)
         .agg(
@@ -126,6 +165,7 @@ def exact_group_quantile(
     q: float,
     accuracy: int = 2_000,
     out: str = "q",
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """Return ``(grp, out)`` with the exact interpolating q-quantile of
     ``col`` per group (nulls ignored; all-null groups yield a null row,
@@ -133,7 +173,8 @@ def exact_group_quantile(
 
     Generalizes the median's bracket plan with two extra cheap stages
     (see module docstring); prefer :func:`exact_group_median` for
-    q = 0.5, which needs neither.
+    q = 0.5, which needs neither.  ``broadcast_stats`` as in
+    :func:`exact_group_median`.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile must be in [0, 1], got {q}")
@@ -159,7 +200,8 @@ def exact_group_quantile(
         .alias("__r2"),
         (idx - F.floor(idx)).alias("__w"),
     )
-    j = df.select(grp, col).join(F.broadcast(stats), grp)
+    hint = _group_table_hint(stats, broadcast_stats)
+    j = df.select(grp, col).join(hint(stats), grp)
     # below-pass piggybacks the PREDECESSOR value (max below the
     # bracket); one extra filtered pass captures the SUCCESSOR for
     # groups smaller than the sketch accuracy.  They widen the
@@ -186,7 +228,7 @@ def exact_group_quantile(
     w = Window.partitionBy(grp).orderBy(col)
     ranked_in = (
         inb.withColumn("__cum", F.sum("__c").over(w))
-        .join(F.broadcast(below.select(grp, "__lt")), grp, "left")
+        .join(hint(below.select(grp, "__lt")), grp, "left")
         .na.fill({"__lt": 0})
         .select(
             grp, col, (F.col("__lt") + F.col("__cum")).alias("__rank_hi")
@@ -201,13 +243,13 @@ def exact_group_quantile(
     pred_rows = below.filter(F.col("__p").isNotNull()).select(
         grp, F.col("__p").alias(col), F.col("__lt").alias("__rank_hi")
     )
-    succ_rows = above.join(F.broadcast(stats.select(grp, "__n")), grp).select(
+    succ_rows = above.join(hint(stats.select(grp, "__n")), grp).select(
         grp, F.col("__s").alias(col), F.col("__n").alias("__rank_hi")
     )
     ranked = ranked_in.unionByName(pred_rows).unionByName(succ_rows)
     sel = (
         ranked.join(
-            F.broadcast(stats.select(grp, "__r1", "__r2", "__w")), grp
+            hint(stats.select(grp, "__r1", "__r2", "__w")), grp
         )
         .groupBy(grp)
         .agg(

@@ -1,4 +1,4 @@
-"""Session-scoped scratch directories for roundtrip suite entries.
+"""Session-scoped scratch directories + cache bookkeeping.
 
 Several suite entries materialize a table copy (CSV/JSON/ORC/parquet
 roundtrips, the trips E2E pipeline) to prove the source/sink path under
@@ -6,6 +6,13 @@ the correctness gate.  Using bare ``tempfile.mkdtemp`` per invocation
 leaked one directory per run across registry-wide sweeps (plan-hygiene
 test, bench, driver gate).  This module hands out subdirectories of ONE
 process-scoped root that is removed at interpreter exit.
+
+:func:`track_persist` solves the cache-side analogue (VERDICT r6
+item 4): an operator whose result is consumed lazily cannot unpersist
+inside its own body — the cache must outlive the return — but repeated
+calls must not pile up cached copies either.  Tracking by label keeps
+at most one live cache per operator; the final one is freed by the
+caller's ``clearCache`` / session teardown as before.
 """
 
 from __future__ import annotations
@@ -13,8 +20,13 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
 
 _ROOT: str | None = None
+_last_persisted: dict[str, "DataFrame"] = {}
 
 
 def _cleanup() -> None:
@@ -36,3 +48,22 @@ def scratch_dir(prefix: str) -> str:
         _ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
         atexit.register(_cleanup)
     return tempfile.mkdtemp(prefix=prefix, dir=_ROOT)
+
+
+def track_persist(label: str, df: "DataFrame") -> "DataFrame":
+    """MEMORY_AND_DISK-persist ``df``, unpersisting whatever DataFrame
+    was previously tracked under ``label`` — bounded cache growth for
+    operators whose lazily-consumed results forbid in-body unpersist.
+    Include any input identity (e.g. the sf dir name) in ``label`` so
+    different inputs never evict each other mid-use."""
+    from pyspark import StorageLevel
+
+    prev = _last_persisted.pop(label, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _last_persisted[label] = df
+    return df

@@ -233,10 +233,14 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time_mask = pc.greater_equal(ts, bound_scalar)
     on_time, late = t.filter(on_time_mask), t.filter(pc.invert(on_time_mask))
 
-    run_id = uuid.uuid4().hex[:8]
-    stage = tempfile.mkdtemp(prefix=f"late_stage_{run_id}_")
-    ckpt = tempfile.mkdtemp(prefix=f"late_ckpt_{run_id}_")
-    out = tempfile.mkdtemp(prefix=f"late_out_{run_id}_")
+    # atexit-reaped scratch dirs: `out` is consumed lazily by the
+    # returned DataFrame, so in-body cleanup is impossible — bare
+    # mkdtemp here leaked three dirs per run (VERDICT r6 item 4)
+    from nyc_taxi_data_clickhouse_spark.scratch import scratch_dir
+
+    stage = scratch_dir("late_stage_")
+    ckpt = scratch_dir("late_ckpt_")
+    out = scratch_dir("late_out_")
 
     def drain():
         stream = read_events_stream(spark, stage, max_files_per_trigger=1)

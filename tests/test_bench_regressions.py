@@ -33,8 +33,11 @@ def test_flags_only_material_slowdowns():
 
 
 def test_prior_best_reads_committed_rounds():
-    """The repo root carries BENCH_r01..r04 + locals; the per-query best
-    must be the minimum across them and exclude the current round."""
+    """The repo root carries BENCH_r01..r06 + locals; the per-query best
+    must be the minimum across them and exclude the current round.
+    Mirrors bench.prior_best_per_query's source preference: a payload's
+    recorded "best" dict wins over its per-query means, and driver
+    payloads nest the headline under "parsed"."""
     best = bench.prior_best_per_query(current_round=99)
     assert "q1_group_count" in best
     import json
@@ -42,7 +45,15 @@ def test_prior_best_reads_committed_rounds():
     mins: dict[str, float] = {}
     for p in Path(bench.__file__).resolve().parent.glob("BENCH_*r*.json"):
         payload = json.loads(p.read_text())
-        for k, v in (payload.get("queries") or {}).items():
+        parsed = payload.get("parsed") or {}
+        source = (
+            payload.get("best")
+            or payload.get("queries")
+            or parsed.get("best")
+            or parsed.get("queries")
+            or {}
+        )
+        for k, v in source.items():
             if isinstance(v, (int, float)) and v > 0:
                 mins[k] = min(mins.get(k, float("inf")), v)
     assert best == mins

@@ -129,6 +129,45 @@ def test_nulls_ignored_like_builtin(spark):
     assert len(got) == 1 and got[0]["med"] == 2.0
 
 
+def test_broadcast_gate_high_cardinality_no_broadcast(spark, monkeypatch):
+    """VERDICT r6 item 3: above the group-count bound the per-group
+    side tables must NOT be broadcast — the joins fall back to shuffle
+    joins, and the result stays exact."""
+    import nyc_taxi_data_clickhouse_spark.operators.stats as stats_mod
+
+    monkeypatch.setattr(stats_mod, "BROADCAST_GROUP_BOUND", 10)
+    rng = random.Random(7)
+    # 40 groups > bound of 10 -> guard must refuse the broadcast
+    rows = [(g, rng.uniform(0, 100)) for g in range(40) for _ in range(9)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+
+    med = exact_group_median(df, "grp", "x")
+    plan = med._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower(), plan
+    got = {r["grp"]: r["med"] for r in med.collect()}
+    want = {
+        r["grp"]: r["want"]
+        for r in df.groupBy("grp").agg(F.median("x").alias("want")).collect()
+    }
+    assert got == pytest.approx(want)
+
+    qt = exact_group_quantile(df, "grp", "x", q=0.75)
+    plan_q = qt._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan_q.lower(), plan_q
+
+
+def test_broadcast_gate_low_cardinality_broadcasts(spark):
+    """Below the bound (or when asserted by the caller) the hint IS
+    applied, preserving the shuffle-free small-group fast path."""
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in range(3) for v in range(20)], ["grp", "x"]
+    )
+    for kwargs in ({}, {"broadcast_stats": True}):
+        med = exact_group_median(df, "grp", "x", **kwargs)
+        plan = med._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in plan.lower(), (kwargs, plan)
+
+
 def test_all_null_group_yields_null_median_row(spark):
     """A group whose values are ALL null must surface as a null-median
     row — exactly like F.median — not silently vanish."""
