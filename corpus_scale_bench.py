@@ -77,20 +77,12 @@ OPS = {
     "substring_dup_fraction": "verbatim",
     # the production form (xxhash64 gram keys, 8x narrower shuffle) —
     # measured alongside so the raw-string entry's slope has its
-    # plan-fix twin on the same axes
-    "substring_dup_hashed": "verbatim",
+    # plan-fix twin on the same axes; a first-class registry entry
+    # since round 7
+    "substring_dup_fraction_hashed": "verbatim",
     # ANN ops scale on the replicated embeddings table, not documents
     "ann_topk_cosine": "embeddings",
     "ann_ivf_topk": "embeddings",
-}
-
-#: names not in the suite registry: resolved to custom callables.
-#: Strictly name -> callable; replication modes belong in OPS.
-CUSTOM = {
-    "substring_dup_hashed": lambda spark, sf_dir: __import__(
-        "nyc_taxi_data_clickhouse_spark.operators.round5_ops",
-        fromlist=["substring_dup_fraction"],
-    ).substring_dup_fraction(spark, sf_dir, key_hash=True),
 }
 
 
@@ -129,9 +121,14 @@ def _replicate_embeddings(spark, base: str, out: Path, factor: int):
         emb.crossJoin(reps)
         .select(
             (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            # rep * 1e-6 is injective in rep (every replica pair differs;
+            # rep 0 stays the byte-identical original) and its increments
+            # exceed float32 eps at O(1) magnitudes, so the distinction
+            # survives the cast.  The previous (rep % 7) * 1e-3 left every
+            # rep ≡ 0 (mod 7) identical to the original at factors > 7.
             F.transform(
                 F.col("embedding"),
-                lambda x: (x + (F.col("rep") % 7) * F.lit(1e-3)).cast("float"),
+                lambda x: (x + F.col("rep") * F.lit(1e-6)).cast("float"),
             ).alias("embedding"),
             "label",
         )
@@ -218,7 +215,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, mode in ops.items():
-        run_fn = CUSTOM.get(name) or reg[name].spark
+        run_fn = reg[name].spark
         pts: list[tuple[int, float]] = []
         detail = {}
         for f in factors:

@@ -77,10 +77,17 @@ def main() -> int:
                 row.update(
                     rows_match=r["rows_spark"] == r["rows_oracle"],
                     schema_match=r["cols_spark"] == r["cols_oracle"],
-                    hash_match=r["hash_spark"] == r["hash_oracle"],
+                    # tol_match = the bounded 1-ulp rounding-flip
+                    # absorption in oracle_util (documented there);
+                    # recorded explicitly so green-via-tolerance rows
+                    # are distinguishable from byte-exact ones
+                    hash_match=r["hash_spark"] == r["hash_oracle"]
+                    or bool(r.get("tol_match")),
                     spark_rows=r["rows_spark"],
                     oracle_rows=r["rows_oracle"],
                 )
+                if r.get("tol_match"):
+                    row["tol_match"] = True
                 if not r["match"]:
                     failed.append(name)
         except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep

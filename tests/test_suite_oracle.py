@@ -79,3 +79,22 @@ def test_rotation_orders_stalest_verified_first():
                 f"(r{last_round})"
             )
             last_round = rounds[name]
+
+
+def test_rotation_staleness_bounded():
+    """VERDICT r6 item 8: with a ~50-entry driver window over ~177
+    entries and stalest-first ordering, no verified entry's green row
+    may age more than 4 driver rounds — if this trips, the rotation
+    stopped fronting stale entries (or the window shrank) and rows are
+    being trusted forever."""
+    from nyc_taxi_data_clickhouse_spark import suite
+
+    rounds = suite._driver_verified_rounds()
+    if not rounds:
+        return  # fresh checkout without driver reports
+    latest = max(rounds.values())
+    stalest = min(rounds.values())
+    assert latest - stalest <= 4, (
+        f"stalest driver-green row is {latest - stalest} rounds old "
+        f"(r{stalest} vs r{latest})"
+    )
