@@ -66,6 +66,9 @@ def test_substring_dup_fraction_single_live_cache(spark):
     # share one canonical logical plan, so Spark's CacheManager holds a
     # single cache entry either way — exactly one live copy
     assert second is not first
+    # exactly one tracked cache for THIS label (other labels may exist
+    # from other tests/sf dirs — each is bounded to one the same way)
     assert (
-        sum(1 for k in scratch._last_persisted if k.startswith("ssdf_pos_")) == 1
+        sum(1 for k in scratch._last_persisted if k == "ssdf_pos_False_sf0.001")
+        == 1
     )
