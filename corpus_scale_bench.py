@@ -37,7 +37,12 @@ markdown table on stdout for BENCH_NOTES.md.
 
 Env: SCALE_FACTORS (default "1,4,16,64"), SCALE_OPS (comma override),
 SCALE_BASE (default /root/testdata/sf0.1), SCALE_REPEATS (default 1,
-min-of-k if >1), SPARK_GRAFT_CPUS (default 32).
+min-of-k if >1), SPARK_GRAFT_CPUS (default 32),
+SCALE_CPU_METRICS=1 (capture executor CPU-time / shuffle-byte /
+spill deltas per point via the status API and fit CPU-based slopes —
+the round-7 x128 probe showed single-box WALL slopes saturate under
+host drift and cold/warm JIT, while CPU and byte slopes stay clean;
+needs spark.ui, which adds listener overhead, so off by default).
 """
 
 from __future__ import annotations
@@ -166,6 +171,27 @@ def materialize(spark, base: str, factor: int) -> dict[str, str]:
     return dirs
 
 
+def stage_totals(spark) -> tuple[float, float, float]:
+    """(executor-run-time core-sec, shuffle-write GB, spill GB) summed
+    over all completed stages, from the status REST API.  Requires
+    spark.ui.enabled (SCALE_CPU_METRICS=1)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        st = json.load(r)
+    return (
+        sum(s.get("executorRunTime", 0) for s in st) / 1e3,
+        sum(s.get("shuffleWriteBytes", 0) for s in st) / 1e9,
+        sum(
+            s.get("diskBytesSpilled", 0) + s.get("memoryBytesSpilled", 0)
+            for s in st
+        )
+        / 1e9,
+    )
+
+
 def fit_slope(points: list[tuple[int, float]]) -> float:
     """Least-squares slope of log(sec) vs log(rows-factor)."""
     if len(points) < 2:
@@ -203,7 +229,12 @@ def main() -> None:
         if k in os.environ.get("SCALE_OPS", ",".join(OPS)).split(",")
     }
 
-    spark = get_spark(app_name="corpus-scale-bench", master=f"local[{cpus}]")
+    cpu_metrics = os.environ.get("SCALE_CPU_METRICS") == "1"
+    spark = get_spark(
+        app_name="corpus-scale-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.enabled": "true"} if cpu_metrics else None,
+    )
     reg = suite.registry()
 
     base_rows = {
@@ -218,12 +249,15 @@ def main() -> None:
         run_fn = reg[name].spark
         pts: list[tuple[int, float]] = []
         detail = {}
+        cpu_pts: list[tuple[int, float]] = []
         for f in factors:
             sf_dir = dirs_by_factor[f][mode]
             times = []
             # one untimed warmup at the smallest factor only: catches
             # JVM/codegen warm-up without doubling the big-factor cost
             runs = repeats + (1 if f == factors[0] else 0)
+            cpu0 = stage_totals(spark) if cpu_metrics else None
+            timed_runs = 0
             for i in range(runs):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
@@ -234,10 +268,22 @@ def main() -> None:
                 elapsed = time.perf_counter() - t0
                 if not (f == factors[0] and i == 0):
                     times.append(elapsed)
+                    timed_runs += 1
+                elif cpu_metrics:
+                    cpu0 = stage_totals(spark)  # baseline excludes warmup
             sec = min(times)
             pts.append((f, sec))
             nrows = base_rows["emb" if mode == "embeddings" else "doc"] * f
             detail[str(f)] = {"rows": nrows, "sec": round(sec, 3)}
+            if cpu_metrics and cpu0 is not None:
+                cpu1 = stage_totals(spark)
+                core_sec = (cpu1[0] - cpu0[0]) / max(timed_runs, 1)
+                detail[str(f)].update(
+                    cpu_core_sec=round(core_sec, 1),
+                    shuffle_gb=round((cpu1[1] - cpu0[1]) / max(timed_runs, 1), 3),
+                    spill_gb=round((cpu1[2] - cpu0[2]) / max(timed_runs, 1), 3),
+                )
+                cpu_pts.append((f, max(core_sec, 1e-9)))
             print(f"{name} x{f}: {sec:.2f}s", file=sys.stderr)
         slope = fit_slope(pts)
         marginal = fit_slope(pts[-2:])
@@ -247,6 +293,11 @@ def main() -> None:
             "slope_loglog": round(slope, 3),
             "marginal_slope": round(marginal, 3),
         }
+        if cpu_pts:
+            results[name]["cpu_slope_loglog"] = round(fit_slope(cpu_pts), 3)
+            results[name]["cpu_marginal_slope"] = round(
+                fit_slope(cpu_pts[-2:]), 3
+            )
 
     payload = {
         "base": base,
@@ -256,7 +307,10 @@ def main() -> None:
         "base_rows": base_rows,
         "ops": results,
     }
-    out = Path(__file__).resolve().parent / f"SCALING_r{round_no():02d}.json"
+    out = Path(
+        os.environ.get("SCALE_OUT")
+        or Path(__file__).resolve().parent / f"SCALING_r{round_no():02d}.json"
+    )
     out.write_text(json.dumps(payload, indent=2) + "\n")
     print(f"payload -> {out.name}", file=sys.stderr)
 

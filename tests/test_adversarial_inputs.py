@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import shutil
 import tempfile
 
 import pyarrow as pa
@@ -89,7 +90,11 @@ def adversarial_sf():
     pq.write_table(
         pa.table(ecols, schema=emb.schema), os.path.join(d, "embeddings.parquet")
     )
-    return d
+    yield d
+    # finalizer, not bare return: this fixture leaked one dir per
+    # pytest run (23 found in /tmp during round 7) — same class as
+    # the VERDICT r6 staging leak
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.mark.parametrize("name", PROBED)

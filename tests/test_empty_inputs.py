@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import tempfile
 
 import pyarrow.parquet as pq
@@ -66,7 +67,10 @@ def empty_sf():
     d = tempfile.mkdtemp(prefix="empty_sf_test_")
     for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
         pq.write_table(pq.read_table(f).slice(0, 0), os.path.join(d, os.path.basename(f)))
-    return d
+    yield d
+    # finalizer: bare return leaked one dir per pytest run (20 found
+    # in /tmp during round 7)
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.mark.parametrize("name", PROBED)
