@@ -171,10 +171,13 @@ def materialize(spark, base: str, factor: int) -> dict[str, str]:
     return dirs
 
 
-def stage_totals(spark) -> tuple[float, float, float]:
-    """(executor-run-time core-sec, shuffle-write GB, spill GB) summed
-    over all completed stages, from the status REST API.  Requires
-    spark.ui.enabled (SCALE_CPU_METRICS=1)."""
+def stage_totals(spark) -> tuple[float, float, float, float]:
+    """(executor-run-time core-sec, shuffle-write GB, spill GB,
+    jvm-GC core-sec) summed over all completed stages, from the status
+    REST API.  Requires spark.ui.enabled (SCALE_CPU_METRICS=1).
+    executorRunTime INCLUDES GC pauses — report GC separately so a
+    single-JVM heap-pressure slope can be told apart from algorithmic
+    CPU growth (the round-7 star-CC decomposition)."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
@@ -189,6 +192,7 @@ def stage_totals(spark) -> tuple[float, float, float]:
             for s in st
         )
         / 1e9,
+        sum(s.get("jvmGcTime", 0) for s in st) / 1e3,
     )
 
 
@@ -256,11 +260,11 @@ def main() -> None:
             # one untimed warmup at the smallest factor only: catches
             # JVM/codegen warm-up without doubling the big-factor cost
             runs = repeats + (1 if f == factors[0] else 0)
-            cpu0 = stage_totals(spark) if cpu_metrics else None
-            timed_runs = 0
+            run_metrics = []  # (elapsed, per-run stage_totals delta)
             for i in range(runs):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
+                cpu0 = stage_totals(spark) if cpu_metrics else None
                 t0 = time.perf_counter()
                 run_fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -268,22 +272,29 @@ def main() -> None:
                 elapsed = time.perf_counter() - t0
                 if not (f == factors[0] and i == 0):
                     times.append(elapsed)
-                    timed_runs += 1
-                elif cpu_metrics:
-                    cpu0 = stage_totals(spark)  # baseline excludes warmup
+                    if cpu_metrics:
+                        cpu1 = stage_totals(spark)
+                        run_metrics.append(
+                            (elapsed, [b - a for a, b in zip(cpu0, cpu1)])
+                        )
             sec = min(times)
             pts.append((f, sec))
             nrows = base_rows["emb" if mode == "embeddings" else "doc"] * f
             detail[str(f)] = {"rows": nrows, "sec": round(sec, 3)}
-            if cpu_metrics and cpu0 is not None:
-                cpu1 = stage_totals(spark)
-                core_sec = (cpu1[0] - cpu0[0]) / max(timed_runs, 1)
+            if run_metrics:
+                # report the MIN-wall run's deltas so cpu/shuffle/spill
+                # describe the same execution as `sec` (a cold first
+                # repeat would otherwise inflate a cross-run mean past
+                # cores x wall — observed in the first r7 capture)
+                d = min(run_metrics)[1]
                 detail[str(f)].update(
-                    cpu_core_sec=round(core_sec, 1),
-                    shuffle_gb=round((cpu1[1] - cpu0[1]) / max(timed_runs, 1), 3),
-                    spill_gb=round((cpu1[2] - cpu0[2]) / max(timed_runs, 1), 3),
+                    cpu_core_sec=round(d[0], 1),
+                    gc_core_sec=round(d[3], 1),
+                    shuffle_gb=round(d[1], 3),
+                    spill_gb=round(d[2], 3),
                 )
-                cpu_pts.append((f, max(core_sec, 1e-9)))
+                # GC-excluded CPU is the algorithmic-work signal
+                cpu_pts.append((f, max(d[0] - d[3], 1e-9)))
             print(f"{name} x{f}: {sec:.2f}s", file=sys.stderr)
         slope = fit_slope(pts)
         marginal = fit_slope(pts[-2:])
