@@ -236,6 +236,27 @@ def prior_best_per_query(
         for name, sec in source.items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), sec)
+    # Accepted-baseline overrides: when an attributed drift makes an
+    # old best permanently unreachable (host/testdata state change —
+    # BENCH_NOTES documents each case), BENCH_ACCEPTED.json raises
+    # that query's reference point so the tripwire measures against
+    # the accepted plateau instead of re-flagging the same attributed
+    # delta every round.  Accepts only RAISE (never lower) the
+    # reference, and only for baselines accepted in a prior-or-current
+    # round — a fresher recorded best below the accept wins again.
+    try:
+        accepted = json.loads((here / "BENCH_ACCEPTED.json").read_text())
+    except (OSError, ValueError):
+        accepted = {}
+    for name, row in accepted.items():
+        base = row.get("baseline") if isinstance(row, dict) else None
+        if (
+            isinstance(base, (int, float))
+            and base > 0
+            and row.get("round", 0) <= current_round
+            and name in best
+        ):
+            best[name] = max(best[name], float(base))
     return best
 
 

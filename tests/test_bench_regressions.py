@@ -56,10 +56,31 @@ def test_prior_best_reads_committed_rounds():
         for k, v in source.items():
             if isinstance(v, (int, float)) and v > 0:
                 mins[k] = min(mins.get(k, float("inf")), v)
+    # accepted-baseline overrides raise the reference for attributed
+    # drifts (BENCH_ACCEPTED.json)
+    accepted = json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_ACCEPTED.json").read_text()
+    )
+    for k, row in accepted.items():
+        if k in mins and row.get("round", 0) <= 99:
+            mins[k] = max(mins[k], float(row["baseline"]))
     assert best == mins
 
-    # excluding everything yields an empty reference set
+    # excluding everything yields an empty reference set (accepts only
+    # raise EXISTING references, never mint new ones)
     assert bench.prior_best_per_query(current_round=0) == {}
+
+
+def test_accepted_baseline_raises_reference_only():
+    """The round-7 accepted plateaus must lift the tripwire reference
+    for the two attributed drifts — and must never LOWER a reference
+    or apply before their acceptance round."""
+    best = bench.prior_best_per_query(current_round=99)
+    assert best["term_cooccurrence"] == 1.81  # raised from the 1.3312 record
+    assert best["mad_outliers"] == 2.5
+    # before the acceptance round the raw history rules
+    pre = bench.prior_best_per_query(current_round=5)
+    assert pre["term_cooccurrence"] < 1.81
 
     # sf filter: only same-scale payloads feed the reference set
     sf01 = bench.prior_best_per_query(current_round=99, sf=0.1)
