@@ -161,18 +161,22 @@ def exact_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_quantiles_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_clickhouse_spark.operators.stats import (
-        exact_group_quantile,
+        exact_group_quantiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_linenumber").alias("grp"),
         F.col("l_extendedprice").alias("x"),
     )
-    # 7 known groups (l_linenumber): assert bounded cardinality,
-    # skip the broadcast-gate guard job
-    p25 = exact_group_quantile(li, "grp", "x", q=0.25, out="p25", broadcast_stats=True)
-    p90 = exact_group_quantile(li, "grp", "x", q=0.90, out="p90", broadcast_stats=True)
-    return p25.join(p90, "grp").select(
+    # both quantiles from ONE fused pass-set (round-7
+    # exact_group_quantiles: stage count independent of len(qs) — the
+    # previous two single-q plans + join scanned the fact ~8 times);
+    # 7 known groups (l_linenumber): assert bounded cardinality, skip
+    # the broadcast-gate guard job
+    qq = exact_group_quantiles(
+        li, "grp", "x", [0.25, 0.90], outs=["p25", "p90"], broadcast_stats=True
+    )
+    return qq.select(
         "grp",
         F.round("p25", 4).alias("p25"),
         F.round("p90", 4).alias("p90"),

@@ -171,105 +171,186 @@ def exact_group_quantile(
     ``col`` per group (nulls ignored; all-null groups yield a null row,
     both matching ``F.percentile`` / DuckDB ``quantile_cont``).
 
-    Generalizes the median's bracket plan with two extra cheap stages
-    (see module docstring); prefer :func:`exact_group_median` for
-    q = 0.5, which needs neither.  ``broadcast_stats`` as in
-    :func:`exact_group_median`.
+    Single-q convenience wrapper over :func:`exact_group_quantiles`;
+    prefer :func:`exact_group_median` for q = 0.5 (minimal 3-pass
+    plan), and the plural form when several quantiles of the same
+    column are needed — k quantiles cost ONE pass-set there, not k.
+    ``broadcast_stats`` as in :func:`exact_group_median`.
     """
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    return exact_group_quantiles(
+        df, grp, col, [q],
+        accuracy=accuracy, outs=[out], broadcast_stats=broadcast_stats,
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    grp: str,
+    col: str,
+    qs: list[float],
+    accuracy: int = 2_000,
+    outs: list[str] | None = None,
+    broadcast_stats: bool | None = None,
+) -> DataFrame:
+    """Return ``(grp, *outs)`` with the exact interpolating quantiles
+    of ``col`` per group for EVERY q in ``qs`` — in one fused plan
+    whose stage count is independent of ``len(qs)``:
+
+    - ONE stats aggregate: a single GK sketch queried at all 2k
+      bracket probes, per-q straddle ranks r1/r2 and blend weight w.
+    - ONE below/above aggregate: per-q conditional ``sum(when(col <
+      lo_i))`` counts, predecessor ``max(when(...))`` and (for groups
+      under the sketch accuracy) successor ``min(when(...))`` — the
+      per-q filtered passes of the single-q plan collapse into
+      conditional expressions over one scan.
+    - ONE candidate table: rows inside ANY bracket, plus each q's
+      predecessor/successor value at count 0 (merged by value, so a
+      neighbor that happens to sit inside another q's bracket keeps
+      its true count).
+    - ONE window sort with k conditional cumulative sums; per-q
+      rank_hi via the same CASE semantics as the single-q plan
+      (in-bracket: below-count + cum; predecessor: below-count;
+      successor: group total n as the safe upper bound; every other
+      out-of-bracket candidate: NULL, so it can never qualify).
+    - ONE selection aggregate with 2k conditional mins.
+
+    The naive alternative — k independent single-q plans joined on
+    ``grp`` — scans the fact table ~4k times; this scans it twice
+    (stats + the shared j pass feeding both aggregates) regardless of
+    k, the right trade at 100 TB.  Semantics (null handling, integral-
+    rank collapse, neighbor widening for sub-accuracy groups) are
+    identical to the single-q plan, which delegates here.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    if outs is None:
+        outs = [f"q{i}" for i in range(len(qs))]
+    if len(outs) != len(qs):
+        raise ValueError("outs must match qs in length")
     delta = 4.0 / accuracy
-    b_lo, b_hi = max(0.0, q - delta), min(1.0, q + delta)
-    # 0-based fractional target rank (n-1)·q straddled by 1-based ranks
-    # r1 = floor+1 and r2, blended with weight __w; integral ranks
-    # collapse r2 onto r1 (the second value would be numerically unused
-    # but must not nullify the blend via 0 * NULL)
-    idx = (F.col("__n") - 1) * F.lit(q)
-    r1 = F.floor(idx).cast("long") + 1
+    k = len(qs)
+    probes: list[float] = []
+    for q in qs:
+        probes += [max(0.0, q - delta), min(1.0, q + delta)]
+
+    # --- stats: n + all brackets from one sketch + per-q ranks -------
+    n_c = F.col("__n")
+    per_q_cols = []
+    for i, q in enumerate(qs):
+        # 0-based fractional target rank (n-1)·q straddled by 1-based
+        # ranks r1 = floor+1 and r2, blended with weight w; integral
+        # ranks collapse r2 onto r1 (the second value would be
+        # numerically unused but must not nullify the blend via 0*NULL)
+        idx = (n_c - 1) * F.lit(q)
+        r1 = F.floor(idx).cast("long") + 1
+        per_q_cols += [
+            F.col("__b")[2 * i].alias(f"__lo{i}"),
+            F.col("__b")[2 * i + 1].alias(f"__hi{i}"),
+            r1.alias(f"__r1{i}"),
+            F.when(idx == F.floor(idx), r1)
+            .otherwise(F.least(r1 + 1, n_c))
+            .alias(f"__r2{i}"),
+            (idx - F.floor(idx)).alias(f"__w{i}"),
+        ]
     stats = df.groupBy(grp).agg(
         F.count(col).alias("__n"),
-        F.percentile_approx(col, [b_lo, b_hi], accuracy).alias("__b"),
-    ).select(
-        grp,
-        "__n",
-        F.col("__b")[0].alias("__lo"),
-        F.col("__b")[1].alias("__hi"),
-        r1.alias("__r1"),
-        F.when(idx == F.floor(idx), r1)
-        .otherwise(F.least(r1 + 1, F.col("__n")))
-        .alias("__r2"),
-        (idx - F.floor(idx)).alias("__w"),
-    )
+        F.percentile_approx(col, probes, accuracy).alias("__b"),
+    ).select(grp, "__n", *per_q_cols)
     hint = _group_table_hint(stats, broadcast_stats)
     j = df.select(grp, col).join(hint(stats), grp)
-    # below-pass piggybacks the PREDECESSOR value (max below the
-    # bracket); one extra filtered pass captures the SUCCESSOR for
-    # groups smaller than the sketch accuracy.  They widen the
-    # candidate set by one distinct value per side: below the accuracy
-    # the q±δ quantiles can collapse onto one rank (δ·n < 1), leaving
-    # a straddle rank just outside [lo, hi]; the neighbor always
-    # covers that ±1-rank shortfall, and for n ≥ accuracy the ≥3-rank
-    # GK margin means the neighbors simply lose the min() selection.
-    below = (
-        j.filter(F.col(col) < F.col("__lo"))
-        .groupBy(grp)
-        .agg(F.count("*").alias("__lt"), F.max(col).alias("__p"))
+    c = F.col(col)
+
+    # --- one below/above aggregate for all qs ------------------------
+    # (the single-q plan's per-q filtered passes, as conditional aggs)
+    ba_exprs = []
+    for i in range(k):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        ba_exprs += [
+            F.coalesce(
+                F.sum(F.when(c < lo, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long").alias(f"__lt{i}"),
+            F.max(F.when(c < lo, c)).alias(f"__p{i}"),
+            # successor only for sub-accuracy groups (see single-q
+            # rationale: the ±1-rank shortfall of a collapsed bracket)
+            F.min(
+                F.when((c > hi) & (F.col("__n") < accuracy), c)
+            ).alias(f"__s{i}"),
+        ]
+    ba = j.groupBy(grp).agg(*ba_exprs)
+
+    # --- candidate values: any bracket + per-q neighbors at count 0 --
+    in_any = F.lit(False)
+    for i in range(k):
+        in_any = in_any | (
+            (c >= F.col(f"__lo{i}")) & (c <= F.col(f"__hi{i}"))
+        )
+    inb = j.filter(in_any).select(grp, col, F.lit(1).alias("__c"))
+    # all 2k neighbors melted through ONE explode branch (not 2k
+    # union branches): plan size and scan lineage stay independent
+    # of k; nulls (no predecessor / successor pass gated off) drop out
+    neigh = (
+        ba.select(
+            grp,
+            F.explode(
+                F.array(
+                    *[F.col(f"__p{i}") for i in range(k)],
+                    *[F.col(f"__s{i}") for i in range(k)],
+                )
+            ).alias(col),
+        )
+        .filter(F.col(col).isNotNull())
+        .select(grp, col, F.lit(0).alias("__c"))
     )
-    above = (
-        j.filter((F.col(col) > F.col("__hi")) & (F.col("__n") < accuracy))
-        .groupBy(grp)
-        .agg(F.min(col).alias("__s"))
+    cand = (
+        inb.unionByName(neigh).groupBy(grp, col).agg(F.sum("__c").alias("__c"))
     )
-    inb = (
-        j.filter((F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi")))
-        .groupBy(grp, col)
-        .agg(F.count("*").alias("__c"))
-    )
+
+    # --- one window sort, k conditional cumsums, per-q rank CASE -----
     w = Window.partitionBy(grp).orderBy(col)
-    ranked_in = (
-        inb.withColumn("__cum", F.sum("__c").over(w))
-        .join(hint(below.select(grp, "__lt")), grp, "left")
-        .na.fill({"__lt": 0})
-        .select(
-            grp, col, (F.col("__lt") + F.col("__cum")).alias("__rank_hi")
+    ranked = cand.join(hint(ba), grp).join(
+        hint(stats), grp
+    )
+    rank_cols = []
+    for i in range(k):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        in_i = (c >= lo) & (c <= hi)
+        cum_i = F.sum(F.when(in_i, F.col("__c")).otherwise(F.lit(0))).over(w)
+        rank_cols.append(
+            F.when(in_i, F.col(f"__lt{i}") + cum_i)
+            .when(c.eqNullSafe(F.col(f"__p{i}")), F.col(f"__lt{i}"))
+            .when(c.eqNullSafe(F.col(f"__s{i}")), F.col("__n"))
+            .alias(f"__rank{i}")
         )
+    ranked = ranked.select(
+        grp, col, *[F.col(f"__r1{i}") for i in range(k)],
+        *[F.col(f"__r2{i}") for i in range(k)],
+        *[F.col(f"__w{i}") for i in range(k)], *rank_cols
     )
-    # exact rank for the predecessor: it is the largest of the __lt
-    # values below the bracket, so rank_hi(pred) = __lt.  The
-    # successor's true rank_hi is ≥ any straddle rank the sketch can
-    # leave outside the bracket, so assigning the group total n — an
-    # upper bound — keeps selection correct: min() prefers every
-    # in-bracket candidate first.
-    pred_rows = below.filter(F.col("__p").isNotNull()).select(
-        grp, F.col("__p").alias(col), F.col("__lt").alias("__rank_hi")
-    )
-    succ_rows = above.join(hint(stats.select(grp, "__n")), grp).select(
-        grp, F.col("__s").alias(col), F.col("__n").alias("__rank_hi")
-    )
-    ranked = ranked_in.unionByName(pred_rows).unionByName(succ_rows)
-    sel = (
-        ranked.join(
-            hint(stats.select(grp, "__r1", "__r2", "__w")), grp
-        )
-        .groupBy(grp)
-        .agg(
-            F.min(
-                F.when(F.col("__rank_hi") >= F.col("__r1"), F.col(col))
-            ).alias("__v1"),
-            F.min(
-                F.when(F.col("__rank_hi") >= F.col("__r2"), F.col(col))
-            ).alias("__v2"),
-            F.first("__w").alias("__wf"),
-        )
-    )
+
+    # --- one selection aggregate -------------------------------------
+    sel_exprs = []
+    for i in range(k):
+        rk = F.col(f"__rank{i}")
+        sel_exprs += [
+            F.min(F.when(rk >= F.col(f"__r1{i}"), c)).alias(f"__v1{i}"),
+            F.min(F.when(rk >= F.col(f"__r2{i}"), c)).alias(f"__v2{i}"),
+            F.first(F.col(f"__w{i}")).alias(f"__wf{i}"),
+        ]
+    sel = ranked.groupBy(grp).agg(*sel_exprs)
     return (
         stats.select(grp)
         .join(sel, grp, "left")
         .select(
             grp,
-            (
-                F.col("__v1")
-                + F.col("__wf") * (F.col("__v2") - F.col("__v1"))
-            ).alias(out),
+            *[
+                (
+                    F.col(f"__v1{i}")
+                    + F.col(f"__wf{i}")
+                    * (F.col(f"__v2{i}") - F.col(f"__v1{i}"))
+                ).alias(outs[i])
+                for i in range(k)
+            ],
         )
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from nyc_taxi_data_clickhouse_spark.operators.stats import (
     exact_group_median,
     exact_group_quantile,
+    exact_group_quantiles,
 )
 
 
@@ -127,6 +128,67 @@ def test_nulls_ignored_like_builtin(spark):
     )
     got = exact_group_median(df, "grp", "x").collect()
     assert len(got) == 1 and got[0]["med"] == 2.0
+
+
+def test_multi_quantile_fused_matches_builtin(spark):
+    """exact_group_quantiles: FIVE quantiles in one fused plan must
+    each reproduce F.percentile — including boundary qs and qs whose
+    brackets overlap — on mixed tie-heavy/sub-accuracy groups."""
+    rng = random.Random(17)
+    rows = [
+        (g, rng.choice([float(rng.randint(-3, 3)), rng.uniform(-40, 40)]))
+        for g in range(6)
+        for _ in range(20 + 31 * g)  # group sizes 20..175, all < accuracy
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    outs = [f"p{int(q*100)}" for q in qs]
+    got = {
+        r["grp"]: [r[o] for o in outs]
+        for r in exact_group_quantiles(df, "grp", "x", qs, outs=outs).collect()
+    }
+    want = {
+        r["grp"]: [r[f"w{i}"] for i in range(len(qs))]
+        for r in df.groupBy("grp")
+        .agg(*[F.percentile("x", F.lit(q)).alias(f"w{i}") for i, q in enumerate(qs)])
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        for i in range(len(qs)):
+            assert got[g][i] == pytest.approx(want[g][i], abs=1e-9), (g, qs[i])
+
+
+def test_multi_quantile_single_pass_set(spark):
+    """The fused plan's scan count must be independent of len(qs):
+    the whole point is k quantiles at one pass-set, not k."""
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in range(3) for v in range(200)], ["grp", "x"]
+    )
+    one = exact_group_quantiles(df, "grp", "x", [0.5])
+    five = exact_group_quantiles(df, "grp", "x", [0.05, 0.25, 0.5, 0.75, 0.95])
+    def scans(d):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan ExistingRDD")
+    assert scans(five) == scans(one)
+    # and the single-q wrapper is exactly the k=1 fused plan
+    legacy = exact_group_quantile(df, "grp", "x", q=0.5)
+    assert legacy.collect()[0] is not None
+
+
+def test_multi_quantile_all_null_and_mixed_groups(spark):
+    df = spark.createDataFrame(
+        [(0, None), (0, None), (1, 5.0), (1, None), (1, 7.0)],
+        "grp int, x double",
+    )
+    got = {
+        r["grp"]: (r["p25"], r["p75"])
+        for r in exact_group_quantiles(
+            df, "grp", "x", [0.25, 0.75], outs=["p25", "p75"]
+        ).collect()
+    }
+    assert got[0] == (None, None)  # all-null group surfaces, nulls
+    assert got[1] == (5.5, 6.5)
 
 
 def test_broadcast_gate_high_cardinality_no_broadcast(spark, monkeypatch):
