@@ -126,14 +126,22 @@ def _replicate_embeddings(spark, base: str, out: Path, factor: int):
         emb.crossJoin(reps)
         .select(
             (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
-            # rep * 1e-6 is injective in rep (every replica pair differs;
-            # rep 0 stays the byte-identical original) and its increments
-            # exceed float32 eps at O(1) magnitudes, so the distinction
-            # survives the cast.  The previous (rep % 7) * 1e-3 left every
-            # rep ≡ 0 (mod 7) identical to the original at factors > 7.
+            # Per-replica perturbation, RELATIVE at large magnitudes
+            # (ADVICE r8): a flat rep*1e-6 step is below float32 eps for
+            # components with |x| >= ~8, so consecutive reps could
+            # collapse per-component there.  rep * max(1e-6, |x|*1e-6)
+            # keeps every step >= ~8 ulps of the component at all
+            # magnitudes (float32 ulp(x) ~ |x|*1.19e-7), so per-component
+            # distinctness survives the cast; rep 0 stays the
+            # byte-identical original.  The previous (rep % 7) * 1e-3
+            # left every rep ≡ 0 (mod 7) identical at factors > 7.
             F.transform(
                 F.col("embedding"),
-                lambda x: (x + F.col("rep") * F.lit(1e-6)).cast("float"),
+                lambda x: (
+                    x
+                    + F.col("rep")
+                    * F.greatest(F.lit(1e-6), F.abs(x) * F.lit(1e-6))
+                ).cast("float"),
             ).alias("embedding"),
             "label",
         )
@@ -237,7 +245,19 @@ def main() -> None:
     spark = get_spark(
         app_name="corpus-scale-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.enabled": "true"} if cpu_metrics else None,
+        # retainedStages default (1000) can EVICT stages between the
+        # cpu0 and cpu1 samples of a long multi-factor sweep, silently
+        # undercounting deltas (ADVICE r8) — retain enough for the
+        # whole sweep; the non-negativity assert below is the tripwire.
+        extra_conf=(
+            {
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "100000",
+            }
+            if cpu_metrics
+            else None
+        ),
     )
     reg = suite.registry()
 
@@ -274,9 +294,18 @@ def main() -> None:
                     times.append(elapsed)
                     if cpu_metrics:
                         cpu1 = stage_totals(spark)
-                        run_metrics.append(
-                            (elapsed, [b - a for a, b in zip(cpu0, cpu1)])
-                        )
+                        delta = [b - a for a, b in zip(cpu0, cpu1)]
+                        # a negative delta means the stage store evicted
+                        # entries between samples — the slopes would be
+                        # silently corrupted (ADVICE r8); fail loudly
+                        if any(d < 0 for d in delta):
+                            raise RuntimeError(
+                                f"{name} x{f} run {i}: negative stage-"
+                                f"totals delta {delta} — retainedStages "
+                                "eviction between samples; raise "
+                                "spark.ui.retainedStages"
+                            )
+                        run_metrics.append((elapsed, delta))
             sec = min(times)
             pts.append((f, sec))
             nrows = base_rows["emb" if mode == "embeddings" else "doc"] * f

@@ -77,12 +77,13 @@ def main() -> int:
                 row.update(
                     rows_match=r["rows_spark"] == r["rows_oracle"],
                     schema_match=r["cols_spark"] == r["cols_oracle"],
-                    # tol_match = the bounded 1-ulp rounding-flip
-                    # absorption in oracle_util (documented there);
-                    # recorded explicitly so green-via-tolerance rows
-                    # are distinguishable from byte-exact ones
-                    hash_match=r["hash_spark"] == r["hash_oracle"]
-                    or bool(r.get("tol_match")),
+                    # hash_match is STRICTLY byte-exact (ADVICE r8);
+                    # tolerance-absorbed rows carry tol_match=True and
+                    # count toward `match`, never toward hash_match —
+                    # the artifact must not mislabel non-byte-exact
+                    # rows as hash-matched
+                    hash_match=r["hash_spark"] == r["hash_oracle"],
+                    match=bool(r["match"]),
                     spark_rows=r["rows_spark"],
                     oracle_rows=r["rows_oracle"],
                 )
@@ -99,8 +100,9 @@ def main() -> int:
               flush=True)
 
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
-    n_checked = sum(1 for r in report.values() if r["hash_match"])
-    print(f"\n{len(reg)} entries, {n_checked} hash-verified, "
+    n_exact = sum(1 for r in report.values() if r["hash_match"])
+    n_tol = sum(1 for r in report.values() if r.get("tol_match"))
+    print(f"\n{len(reg)} entries, {n_exact} byte-exact, {n_tol} tolerance-absorbed, "
           f"{len(failed)} failed, {time.time() - t0:.0f}s -> {args.out}")
     if failed:
         print("FAILED:", ", ".join(failed))

@@ -61,17 +61,39 @@ def _group_table_hint(
     stats: DataFrame,
     broadcast_stats: bool | None,
     bound: int | None = None,
+    label: str = "group_stats_guard",
 ) -> Callable[[DataFrame], DataFrame]:
     """Return the hint applied to every per-group side table (stats /
     below / above — all ≤ group cardinality, so one decision covers
     them).  ``broadcast_stats``: True forces the broadcast hint (the
     caller asserts bounded group cardinality), False forces shuffle
-    joins, None (default) runs one cheap guard job — a count of the
-    aggregated stats table, early-capped at ``bound + 1`` — so high
-    group cardinality can never be silently broadcast."""
+    joins, None (default) runs a guard job so high group cardinality
+    can never be silently broadcast.
+
+    NOTE (ADVICE r8): in default mode the guard job runs EAGERLY at
+    plan-construction time, and because ``limit`` cannot short-circuit
+    the underlying groupBy aggregate, it costs one full stats-scale
+    aggregation.  To keep that the ONLY stats-scale scan, the stats
+    DataFrame is persisted (``track_persist`` under ``label`` — pass a
+    caller/column-specific label so interleaved operators don't evict
+    each other) before the guard count, so the downstream joins reuse
+    the cached partitions instead of recomputing the aggregation.
+    Callers on 100 TB fact tables should pass an explicit
+    ``broadcast_stats`` (or derive it from catalog statistics) to stay
+    fully lazy."""
     if bound is None:
         bound = BROADCAST_GROUP_BOUND
     if broadcast_stats is None:
+        from nyc_taxi_data_clickhouse_spark.scratch import track_persist
+
+        # persist() returns self, so the caller's subsequent joins on
+        # this same DataFrame object hit the cache populated here.
+        # The label carries the analyzed plan's semantic hash: two
+        # DIFFERENT stats plans (other df / other qs) never evict each
+        # other mid-use, while re-running the same operator on the same
+        # input reuses one slot (bounded cache growth).
+        sem = stats._jdf.queryExecution().analyzed().semanticHash()
+        stats = track_persist(f"{label}:{sem}", stats)
         broadcast_stats = stats.limit(bound + 1).count() <= bound
     return F.broadcast if broadcast_stats else (lambda d: d)
 
@@ -111,7 +133,9 @@ def exact_group_median(
         ((F.col("__n") + 1) / 2).cast("long").alias("__r1"),
         (F.col("__n") / 2 + 1).cast("long").alias("__r2"),
     )
-    hint = _group_table_hint(stats, broadcast_stats)
+    hint = _group_table_hint(
+        stats, broadcast_stats, label=f"median_stats:{grp}:{col}"
+    )
     j = df.select(grp, col).join(hint(stats), grp)
     below = (
         j.filter(F.col(col) < F.col("__lo"))
@@ -257,7 +281,9 @@ def exact_group_quantiles(
         F.count(col).alias("__n"),
         F.percentile_approx(col, probes, accuracy).alias("__b"),
     ).select(grp, "__n", *per_q_cols)
-    hint = _group_table_hint(stats, broadcast_stats)
+    hint = _group_table_hint(
+        stats, broadcast_stats, label=f"quantiles_stats:{grp}:{col}"
+    )
     j = df.select(grp, col).join(hint(stats), grp)
     c = F.col(col)
 

@@ -621,13 +621,31 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT l_linenumber AS key, round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
     "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price "
     "FROM lineitem GROUP BY l_linenumber",
-    doc="§2.4 extension: exact interpolated percentiles (median/p90)",
+    doc="§2.4 extension: exact interpolated percentiles (median/p90) — "
+    "since round 8 via operators.stats.exact_group_quantiles (VERDICT r7 "
+    "item 5): both quantiles from ONE fused bounded-memory pass-set "
+    "instead of F.percentile, whose aggregation buffer holds every "
+    "group value (OOM at 100 TB group sizes).  Same percentile_cont "
+    "semantics, same DuckDB quantile_cont oracle; 7 known groups "
+    "(l_linenumber) — bounded cardinality asserted, guard job skipped",
 )
 def percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_linenumber").alias("key")).agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    from nyc_taxi_data_clickhouse_spark.operators.stats import (
+        exact_group_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("key"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    qq = exact_group_quantiles(
+        li, "key", "x", [0.5, 0.9],
+        outs=["median_price", "p90_price"], broadcast_stats=True,
+    )
+    return qq.select(
+        "key",
+        F.round("median_price", 4).alias("median_price"),
+        F.round("p90_price", 4).alias("p90_price"),
     )
 
 

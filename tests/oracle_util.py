@@ -77,9 +77,17 @@ def _hash_rows(colnames, rows) -> str:
 
 
 def _last_decimal_unit(a: float, b: float) -> float:
-    """One unit in the last decimal of the COARSER of the two values'
+    """One unit in the last decimal of the FINER of the two values'
     shortest reprs — the magnitude of a legitimate rounding-boundary
-    flip between independently-summed floats."""
+    flip between independently-summed floats.
+
+    Finer (max of the decimal counts), not coarser: a boundary flip can
+    shorten one side's repr (2.1 vs 2.1001 — trailing zeros drop), and
+    the finer side still bounds the true difference (1e-4 here). Using
+    the coarser side would balloon the tolerance to one unit of the
+    FIRST decimal whenever one repr happens to be short (2.1 vs 2.1457
+    would be absorbed as a "flip"), letting real per-row defects through
+    the correctness gate (ADVICE r8, tests/oracle_util.py:90)."""
 
     def dec(x: float) -> int:
         s = repr(float(x))
@@ -87,7 +95,7 @@ def _last_decimal_unit(a: float, b: float) -> float:
             return 12  # sci-notation magnitudes: effectively ulp-level
         return len(s.split(".")[1]) if "." in s else 0
 
-    return 10.0 ** -min(dec(a), dec(b))
+    return 10.0 ** -max(dec(a), dec(b))
 
 
 def _rows_flip_close(ra, order_a, rb, order_b) -> bool:

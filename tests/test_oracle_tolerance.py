@@ -73,8 +73,19 @@ def test_column_order_independent():
 def test_last_decimal_unit():
     assert _last_decimal_unit(51.5113, 51.5112) == 1e-4
     assert _last_decimal_unit(10.13, 10.12) == 1e-2
-    # coarser side wins: a flip can shorten the repr (2.1 vs 2.1001)
-    assert _last_decimal_unit(2.1, 2.1001) == 0.1
+    # FINER side wins (ADVICE r8): a flip can shorten one repr
+    # (2.1 vs 2.1001), and 1e-4 still admits it (1e-4 <= 1.05e-4)
+    # without ballooning the tolerance to the first decimal.
+    assert _last_decimal_unit(2.1, 2.1001) == 1e-4
+
+
+def test_short_repr_does_not_balloon_tolerance():
+    # The ADVICE r8 repro: with min() these were wrongly absorbed as
+    # 1-ulp flips. With max() they must be rejected.
+    assert not _tolerant_match(COLS, _rows([("a", 2.1)]), COLS, _rows([("a", 2.1457)]))
+    assert not _tolerant_match(COLS, _rows([("a", 51.5)]), COLS, _rows([("a", 51.55)]))
+    # while the genuine boundary flip with a shortened repr still passes
+    assert _tolerant_match(COLS, _rows([("a", 2.1)]), COLS, _rows([("a", 2.1001)]))
 
 
 def test_flip_close_rejects_nan_and_none():

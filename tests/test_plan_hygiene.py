@@ -37,3 +37,72 @@ def test_no_forbidden_physical_operators(spark, name, spec):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in FORBIDDEN:
         assert op not in plan, f"{name} plans {op}:\n{plan[:1500]}"
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-gate PHYSICAL plan shape (VERDICT r7 item 6).  The r6/r7
+# rounds pinned the gate's logical hint and its result exactness
+# (tests/test_stats.py); this pins the executed plan on BOTH sides of
+# BROADCAST_GROUP_BOUND so a refactor can't silently regress either the
+# small-group broadcast fast path or the high-cardinality shuffle
+# fallback.  `default` exercises the guard job; `asserted` the caller's
+# explicit broadcast_stats contract (round4_ops.py mad_outliers path).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("op_kind", ["median", "quantiles"])
+@pytest.mark.parametrize("mode", ["default", "asserted"])
+def test_broadcast_gate_plan_shape(spark, monkeypatch, op_kind, mode):
+    import nyc_taxi_data_clickhouse_spark.operators.stats as stats_mod
+
+    monkeypatch.setattr(stats_mod, "BROADCAST_GROUP_BOUND", 10)
+    # Disable SIZE-based broadcasts (static + AQE) so the only possible
+    # BroadcastHashJoin source is the gate's HINT — otherwise the
+    # planner, seeing the guard-persisted stats' accurate tiny size,
+    # legitimately size-broadcasts even "above the bound" (that
+    # size-based path is safe and wanted in production; here it would
+    # mask a hint regression, which is what this test pins).
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        _run_broadcast_gate_case(spark, stats_mod, op_kind, mode)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def _run_broadcast_gate_case(spark, stats_mod, op_kind, mode):
+
+    def build(df, broadcast_stats):
+        if op_kind == "median":
+            return stats_mod.exact_group_median(
+                df, "grp", "x", broadcast_stats=broadcast_stats
+            )
+        return stats_mod.exact_group_quantiles(
+            df, "grp", "x", [0.25, 0.75], broadcast_stats=broadcast_stats
+        )
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = spark.createDataFrame(
+        [(g, float(v)) for g in range(3) for v in range(20)], ["grp", "x"]
+    )
+    big = spark.createDataFrame(
+        [(g, float(v)) for g in range(40) for v in range(9)], ["grp", "x"]
+    )
+
+    below = physical(build(small, None if mode == "default" else True))
+    assert "BroadcastHashJoin" in below, below[:1500]
+
+    # above the bound: asserted mode has no honest "force shuffle"
+    # analogue other than False — the guard is what default mode tests
+    above = build(big, None if mode == "default" else False)
+    plan = physical(above)
+    assert "BroadcastHashJoin" not in plan, plan[:1500]
+    assert "BroadcastExchange" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
