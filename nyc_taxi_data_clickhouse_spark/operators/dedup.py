@@ -656,6 +656,24 @@ def _union_find_member(edges: DataFrame) -> DataFrame:
     return edges.coalesce(1).mapInPandas(uf, schema="node long, component long")
 
 
+#: Edge count above which the star rounds hint shuffle_hash on the
+#: per-key min tables (see the gate comment in
+#: :func:`connected_components_star`).  At ~16 B/row of (key, min) the
+#: 64 MB auto-broadcast bound sits near 4 M rows, and the min tables
+#: are bounded by the edge count — hint at half that for headroom.
+_STAR_SHJ_EDGE_BOUND = 2_000_000
+
+
+def _star_shj_bound() -> int:
+    """Env-overridable for A/B measurement (corpus_scale_bench probes):
+    ``SPARK_GRAFT_STAR_SHJ_BOUND`` — set huge to force the un-hinted
+    planner fallback, 0 to always hint."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_STAR_SHJ_BOUND")
+    return int(v) if v else _STAR_SHJ_EDGE_BOUND
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -705,10 +723,25 @@ def connected_components_star(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
 
-    if local_finish_edges and edges.count() <= local_finish_edges:
+    n_edges = edges.count()  # cheap: edges is eagerly checkpointed
+    if local_finish_edges and n_edges <= local_finish_edges:
         return finish_local(edges)
     prev_fp = None
     for _ in range(max_rounds):
+        # Join-strategy gate for the round joins (r8 x256 probe,
+        # BENCH_NOTES): below the bound the per-key min tables fit the
+        # 64 MB auto-broadcast and the planner broadcasts them (the
+        # small-scale fast path — leave it alone).  Above it the
+        # un-hinted fallback is sort-merge, which sorts BOTH sides
+        # every round; the min tables have UNIQUE keys (one row per
+        # group key — the safe shuffle-hash build case, no skew
+        # possible on the build side), so hint shuffle_hash and skip
+        # the sorts.  n_edges is already known per round from the
+        # fixpoint fingerprint — the gate costs zero extra jobs.
+        if n_edges > _star_shj_bound():
+            rh = lambda d: d.hint("shuffle_hash")  # noqa: E731
+        else:
+            rh = lambda d: d  # noqa: E731
         # ---- large-star: from each undirected edge's smaller endpoint
         # u, re-attach the larger endpoint to min(N(u) ∪ {u})
         und = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
@@ -716,7 +749,7 @@ def connected_components_star(
         )
         nbr_min = und.groupBy("u").agg(F.min("v").alias("__mv"))
         large = (
-            und.join(nbr_min, "u")
+            und.join(rh(nbr_min), "u")
             .filter(F.col("v") > F.col("u"))
             .select(
                 F.col("v").alias("a"),
@@ -729,7 +762,7 @@ def connected_components_star(
         # already that orientation, so N⁻(hi) = its lo partners
         low_min = edges.groupBy("hi").agg(F.min("lo").alias("__m"))
         small = (
-            edges.join(low_min, "hi")
+            edges.join(rh(low_min), "hi")
             .select(F.col("lo").alias("a"), F.col("__m").alias("b"))
             .union(low_min.select(F.col("hi").alias("a"), F.col("__m").alias("b")))
         )
@@ -744,6 +777,7 @@ def connected_components_star(
             F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)).alias("h"),
         ).collect()[0]
         fp = (fp_row["n"], fp_row["h"])
+        n_edges = fp[0]  # entering count for the next round's join gate
         if fp == prev_fp:
             member = edges.groupBy(F.col("hi").alias("node")).agg(
                 F.min("lo").alias("component")

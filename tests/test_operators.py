@@ -976,6 +976,54 @@ def test_star_hybrid_finish_matches_pure_star(spark):
     assert midloop == pure
 
 
+def test_star_shuffle_hash_gate_labels_identically(spark, monkeypatch):
+    """The r8 join-strategy gate: above _STAR_SHJ_EDGE_BOUND the round
+    joins hint shuffle_hash (the un-hinted fallback at that size is
+    sort-merge, which sorts both sides every round; the min tables
+    have unique keys, the safe build case).  Forcing the gate ON via
+    the env override must leave labels identical to the un-hinted
+    rounds on graphs of different shapes — and the hinted join must
+    actually plan as ShuffledHashJoin (checked on the round-join shape
+    directly, since per-round plans are checkpoint-truncated from the
+    returned DataFrame)."""
+    monkeypatch.setenv("SPARK_GRAFT_STAR_SHJ_BOUND", "0")  # always hint
+    rng = random.Random(11)
+    for pairs in (
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(127)], "id_a long, id_b long"
+        ),
+        spark.createDataFrame(
+            [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],
+            "id_a long, id_b long",
+        ).filter("id_a <> id_b"),
+    ):
+        hinted = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components_star(
+                pairs, local_finish_edges=0
+            ).collect()
+        }
+        monkeypatch.delenv("SPARK_GRAFT_STAR_SHJ_BOUND")
+        plain = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        monkeypatch.setenv("SPARK_GRAFT_STAR_SHJ_BOUND", "0")
+        assert hinted == plain
+    # plan shape of the hinted round-join composition
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 3)], "lo long, hi long"
+    )
+    low_min = e.groupBy("hi").agg(F.min("lo").alias("__m"))
+    plan = (
+        e.join(low_min.hint("shuffle_hash"), "hi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan[:800]
+
+
 def test_star_raises_on_round_exhaustion(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
