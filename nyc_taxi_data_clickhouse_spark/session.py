@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set: spark.sql.adaptive.shuffleHashJoinLocalMapThreshold
+        # (AQE runtime SMJ->shuffled-hash conversion).  Measured in the
+        # r8 x256 A/B probe (SCALING_CPU_r08_shj.json vs
+        # SCALING_CPU_r08.json): shuffle bytes and spill were
+        # byte-identical with it on — the probe's sort spill belongs to
+        # the shingle SELF-join, whose build sides are far too large to
+        # hash-build, while the one join that does cross the broadcast
+        # bound (the per-doc size attach) contributes no measurable
+        # sort cost.  Left at Spark's default (off) until an op shows a
+        # measured win; see BENCH_NOTES round-8.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # keep broadcast joins for dim tables (reference joins are all
         # broadcast-sized, SURVEY §2.3); 64m is safe at 128 GiB driver
