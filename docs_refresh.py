@@ -98,9 +98,10 @@ def main() -> None:
         ROOT / "COVERAGE.md",
         [
             (
-                r"\(\d+ of the \d+\s*\nentries are oracle-gated, \d+ rows-only, as of this refresh\)",
-                f"({n_oracle} of the {n_entries}\nentries are oracle-gated"
-                f", {n_rows_only} rows-only, as of this refresh)",
+                # tolerate reflow: the phrase may wrap at any whitespace
+                r"\(\d+ of the \d+\s+entries are\s+oracle-gated,\s+\d+ rows-only, as of this refresh",
+                f"({n_oracle} of the {n_entries} entries are\noracle-gated"
+                f", {n_rows_only} rows-only, as of this refresh",
             ),
         ],
         args.check,
