@@ -57,6 +57,17 @@ def get_spark(
         # sort cost.  Left at Spark's default (off) until an op shows a
         # measured win; see BENCH_NOTES round-8.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # NOT set: spark.sql.adaptive.coalescePartitions.initialPartitionNum.
+        # The r8 jaccard x256 probe showed the per-task state of a FIXED
+        # partition count spilling at scale (32 partitions: 70 GB spill /
+        # 6094 CPU core-s; 512: 39 GB / 4535, -26 % CPU) — but pinning
+        # initialPartitionNum = 16x cores regressed the ENTIRE sf0.1
+        # headline 1.2-2.3x (suite 38 -> 53 s): AQE coalescing does not
+        # refund the extra task-scheduling floor at small shuffle sizes.
+        # The right control is sizing shuffle_partitions to the DATA
+        # (this factory's parameter / SPARK_GRAFT_SHUFFLE env; a cluster
+        # deploy sizes it to executors x cores anyway) — see BENCH_NOTES
+        # round-8 partition-scaling probe.
         # keep broadcast joins for dim tables (reference joins are all
         # broadcast-sized, SURVEY §2.3); 64m is safe at 128 GiB driver
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
