@@ -137,3 +137,70 @@ def to_fixed_string(col: Column | str, n: int, default: str | None = None) -> Co
     c = F.col(col) if isinstance(col, str) else col
     default = default if default is not None else "0" * n
     return F.rpad(F.coalesce(c, F.lit(default)), n, "0").substr(1, n)
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-point average (VERDICT r8 item 5)
+# ---------------------------------------------------------------------------
+#
+# round(avg(double), k) is NOT reproducible across engines, twice over:
+# (1) the parallel double sum is summation-order dependent (1-ulp flips
+# at partition boundaries), and (2) even on identical inputs, engines
+# round doubles differently at decimal boundaries — Spark's round()
+# half-ups the value's SHORTEST DECIMAL REPR (BigDecimal.valueOf) while
+# e.g. DuckDB rounds the binary value via multiply/round/divide, so an
+# average whose exact value is x.xxxx5 (common when inputs have few
+# decimals: 2-decimal values averaged over 8 rows step by 1.25e-3)
+# flips by one last-decimal unit between engines.  The cure is to leave
+# floating point entirely: quantize each value to exact integer
+# micro-units, sum exactly, and apply the half-up rule with integer
+# arithmetic.  Both halves are deterministic and engine-independent.
+
+#: quantization: value -> integer micro-units (1e-6); the per-row
+#: double->DECIMAL(18,6) cast is deterministic half-up on both engines
+#: (the decimal_exact_money precedent, green at every SF)
+MICRO = 1_000_000
+
+
+def micro_sum(col: Column | str) -> Column:
+    """Exact integer sum of ``col`` in micro-units: per-row
+    ``CAST(value AS DECIMAL(18,6)) * 1e6`` is integral by construction
+    and the long sum is exact, so partial-aggregation order cannot
+    change the result.  Long overflow needs a per-group unit-sum past
+    ~9.2e12 — widen to ``sum(...).cast("decimal(38,0)")`` before that."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum((c.cast("decimal(18,6)") * MICRO).cast("long"))
+
+
+def micro_avg(sum_micro: Column | str, cnt: Column | str, scale: int = 4) -> Column:
+    """Half-up average at ``scale`` decimals from an exact micro-unit
+    sum S and count C, entirely in exact arithmetic:
+
+        round_half_up(S / (MICRO*C) * 10^scale)
+            = sign(S) * (2*|S| + q*C) intdiv (2*q*C),   q = MICRO/10^scale
+
+    The intdiv runs in DECIMAL(38,0) via ``(n - n % d) / d`` (no long
+    overflow, no float; the decimal division of an exact multiple is
+    exact), and the only floating-point step is the final
+    integer/10^scale — one deterministic IEEE rounding, identical in
+    any engine.  Sign is factored out so truncation = floor on the
+    positive magnitude, making the rule half-AWAY-FROM-ZERO for
+    negatives too (what both Spark's and DuckDB's round() do).  C == 0
+    (all-null group) yields NULL, matching avg().
+
+    The DuckDB-oracle spelling of the same formula::
+
+        CAST(CASE WHEN s6 < 0 THEN -1 ELSE 1 END
+             * ((2*abs(s6) + 100*cv) // nullif(200*cv, 0)) AS DOUBLE)
+            / 10000  AS avg_value        -- scale=4: q = 100
+    """
+    s = (F.col(sum_micro) if isinstance(sum_micro, str) else sum_micro).cast(
+        "decimal(38,0)"
+    )
+    c = (F.col(cnt) if isinstance(cnt, str) else cnt).cast("decimal(38,0)")
+    q = MICRO // 10 ** scale
+    num = F.abs(s) * 2 + F.lit(q) * c
+    den = F.nullif((F.lit(2 * q) * c).cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+    ticks = ((num - num % den) / den).cast("decimal(38,0)")
+    sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * ticks).cast("double") / F.lit(float(10 ** scale))

@@ -69,6 +69,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    fit_sample_cap: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into cells; each query probes only the
@@ -79,12 +80,31 @@ def ivf_topk(
     + a narrow column), candidates come from an equi-join on cell id —
     per-query work is |corpus| * n_probe / n_cells instead of |corpus|.
     Deterministic for a fixed seed.  Recall is tunable via n_probe.
+
+    ``fit_sample_cap`` (VERDICT r8 item 4): the coarse quantizer is fit
+    on at most this many rows.  Centroids estimated from ~1e5 vectors
+    are statistically indistinguishable from a full-corpus fit, while a
+    full fit is a multi-pass ML job over the whole corpus — at 100 TB
+    that is THE cost of the operator.  A corpus at or under the cap is
+    fit whole (bit-identical to the pre-cap behavior, which keeps the
+    small-SF oracle exact); above it, fit input is a ``limit(cap)``
+    prefix — bounded, single-pass, and deterministic for a fixed input
+    layout.  The corpus-size probe itself is a bounded
+    ``limit(cap+1).count()`` (CollectLimit short-circuits the scan),
+    replacing the former eager full ``corpus.count()``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    n = corpus.count()
-    if n == 0:
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    # bounded emptiness + size probe: scans until cap+1 rows are found,
+    # never the full corpus
+    probe_n = feat.limit(fit_sample_cap + 1).count()
+    if probe_n == 0:
         # Spark ML KMeans.fit throws a deep stage failure on an empty
         # corpus; the graceful contract is "no neighbors" with the
         # correct output schema
@@ -92,15 +112,19 @@ def ivf_topk(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    n_cells = n_cells or max(2, int(n ** 0.5 / 2))
-
-    feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
-    )
+    if probe_n <= fit_sample_cap:
+        # small corpus: exact row count known, fit on the whole thing
+        n_cells = n_cells or max(2, int(probe_n ** 0.5 / 2))
+        fit_input = feat
+    else:
+        # large corpus: bounded deterministic sample; the sqrt rule
+        # needs a corpus size we refuse to compute eagerly, so default
+        # the cell count from the cap (callers at real scale should
+        # pass n_cells sized to their corpus, e.g. ~sqrt(N))
+        n_cells = n_cells or max(2, int(fit_sample_cap ** 0.5 / 2))
+        fit_input = feat.select("__features").limit(fit_sample_cap)
     km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(feat)
+    model = km.fit(fit_input)
     assigned = model.transform(feat).select("neighbor_id", "__cvec", "__cell")
 
     # centroid table (tiny) for query-side probing

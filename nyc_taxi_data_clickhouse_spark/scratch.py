@@ -50,20 +50,45 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_ROOT)
 
 
+#: Max live persisted slots per label PREFIX (the part before the first
+#: ``:``).  Labels carry the input plan's semantic hash so different
+#: inputs never evict each other MID-USE — but a long-lived session
+#: sweeping many inputs (sf dirs, columns) would otherwise accumulate
+#: one never-freed cache per distinct plan (ADVICE r8).  Evicting the
+#: oldest slot of the same prefix bounds that growth; 4 is enough for
+#: every in-repo pattern (an operator touches at most two inputs per
+#: invocation, and eviction only bites plans from PRIOR invocations,
+#: whose guard counts and downstream joins have already consumed them).
+MAX_SLOTS_PER_PREFIX = 4
+
+
 def track_persist(label: str, df: "DataFrame") -> "DataFrame":
     """MEMORY_AND_DISK-persist ``df``, unpersisting whatever DataFrame
     was previously tracked under ``label`` — bounded cache growth for
     operators whose lazily-consumed results forbid in-body unpersist.
     Include any input identity (e.g. the sf dir name) in ``label`` so
-    different inputs never evict each other mid-use."""
+    different inputs never evict each other mid-use; slots sharing a
+    ``prefix:`` are additionally capped at :data:`MAX_SLOTS_PER_PREFIX`
+    live caches (oldest evicted first)."""
     from pyspark import StorageLevel
+
+    def _free(frame: "DataFrame") -> None:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
 
     prev = _last_persisted.pop(label, None)
     if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to free
+        _free(prev)
+    prefix = label.split(":", 1)[0]
+    same_prefix = [
+        key for key in _last_persisted if key.split(":", 1)[0] == prefix
+    ]
+    # dict preserves insertion order => same_prefix[0] is the oldest
+    while len(same_prefix) >= MAX_SLOTS_PER_PREFIX:
+        oldest = same_prefix.pop(0)
+        _free(_last_persisted.pop(oldest))
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _last_persisted[label] = df
     return df

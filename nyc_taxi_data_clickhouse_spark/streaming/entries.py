@@ -176,9 +176,16 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events),
     a AS (SELECT e.* FROM events e, b WHERE e.ts >= b.bound),
     wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
-    r AS (SELECT date_trunc('hour', ts) AS hour, event_type,
-                 count(*) AS cnt, round(avg(value), 4) AS avg_value
-          FROM a GROUP BY 1, 2)
+    g AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                      AS BIGINT) AS s6,
+                 count(value) AS cv
+          FROM a GROUP BY 1, 2),
+    r AS (SELECT hour, event_type, cnt,
+                 CAST(CASE WHEN s6 < 0 THEN -1 ELSE 1 END
+                      * ((2*abs(s6) + 100*cv) // nullif(200*cv, 0)) AS DOUBLE)
+                     / 10000 AS avg_value
+          FROM g)
     SELECT r.hour, r.event_type, r.cnt, r.avg_value
     FROM r, wm WHERE r.hour + INTERVAL 1 HOUR <= wm.wm
     """,

@@ -128,12 +128,27 @@ def read_events_stream(
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked hourly windowed aggregation — the streaming twin of
     suite.events_hourly_agg.  Late rows beyond the watermark are
-    dropped; in append mode a window emits once, when it finalizes."""
+    dropped; in append mode a window emits once, when it finalizes.
+
+    The avg is exact fixed-point (scalars.micro_sum/micro_avg): the
+    streaming state carries an exact integer micro-unit sum, so the
+    micro-batch arrival/merge order can never flip a bit of the output
+    — the property that makes the stream==batch convergence oracle
+    byte-exact (VERDICT r8 item 5)."""
+    from nyc_taxi_data_clickhouse_spark.functions.scalars import micro_avg, micro_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w.start").alias("hour"), "event_type", "cnt", "avg_value")
+        .agg(
+            F.count("*").alias("cnt"),
+            micro_sum("value").alias("__s6"),
+            F.count("value").alias("__cv"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "cnt",
+            micro_avg("__s6", "__cv", 4).alias("avg_value"),
+        )
     )
 
 

@@ -112,6 +112,14 @@ def _rows_flip_close(ra, order_a, rb, order_b) -> bool:
             and not isinstance(a, bool)
             and not isinstance(b, bool)
         ):
+            if isinstance(a, numbers.Integral) and isinstance(b, numbers.Integral):
+                # Integral cells (BIGINT counts): a float-summation
+                # rounding flip cannot produce an off-by-one INTEGER —
+                # only a fence/logic bug can — so integer-typed cells
+                # get no tolerance at all (ADVICE r9: iqr_outlier_counts
+                # outputs a count; an off-by-one fence bug must never be
+                # absorbed as a "rounding flip").
+                return False
             fa, fb = float(a), float(b)
             if math.isnan(fa) or math.isnan(fb):
                 return False

@@ -93,3 +93,20 @@ def test_flip_close_rejects_nan_and_none():
     assert not _rows_flip_close(("a", None), ORDER, ("a", 1.0), ORDER)
     # but equal NaNs normalize identically and pass
     assert _rows_flip_close(("a", float("nan")), ORDER, ("a", float("nan")), ORDER)
+
+
+def test_rejects_integer_off_by_one():
+    """ADVICE r9: an integral cell (a BIGINT count) differing by exactly
+    1 is a fence/logic bug, never a float-summation flip — integer-typed
+    cells get no tolerance at all, so off-by-one is rejected."""
+    s = _rows([("a", 7), ("b", 2)])
+    o = _rows([("a", 8), ("b", 2)])
+    assert not _tolerant_match(COLS, s, COLS, o)
+    s = _rows([("a", 1000000)])
+    o = _rows([("a", 1000001)])
+    assert not _tolerant_match(COLS, s, COLS, o)
+    # an int/float TYPE mismatch with equal values still normalizes
+    # equal upstream; differing int/float values keep the repr-unit rule
+    # (7.0 reprs as "7.0": one decimal -> unit 0.1, rejects the 1.0 gap)
+    assert _last_decimal_unit(7.0, 8.0) == 0.1
+    assert not _tolerant_match(COLS, _rows([("a", 7)]), COLS, _rows([("a", 8.0)]))

@@ -459,3 +459,77 @@ def test_gif_every_truncation_point_raises_valueerror():
         # to the SAME image, never garbage (and never escape as
         # IndexError / struct.error, which the except above enforces)
         assert got == full, f"cut={cut} parsed to a different image"
+
+
+# ---------------------------------------------------------------------------
+# micro_sum / micro_avg: exact fixed-point average (VERDICT r8 item 5)
+# ---------------------------------------------------------------------------
+
+# values with at most 6 decimals (the micro-unit quantum) so the
+# double->DECIMAL(18,6) quantization is the identity and the Fraction
+# model below is the EXACT ground truth; magnitudes cover sign, zero,
+# and boundary-landing averages (x.xxxx5 steps)
+_micro_vals = st.one_of(
+    st.none(),
+    st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+        lambda n: n / 1_000_000  # exact 6-decimal lattice around zero
+    ),
+    st.integers(min_value=-56_021, max_value=56_021).map(lambda n: n / 100),
+)
+
+
+def _py_micro_avg(values, scale=4):
+    """Pure-Python exact model: half-away-from-zero avg at `scale`."""
+    from fractions import Fraction
+
+    present = [v for v in values if v is not None]
+    if not present:
+        return None
+    # quantize like micro_sum: round-half-up to 6 decimals (exact here
+    # by construction of the strategy)
+    s = sum(round(Fraction(str(v)) * 1_000_000) for v in present)
+    avg_ticks = Fraction(s, 1_000_000 * len(present)) * 10 ** scale
+    sign = -1 if avg_ticks < 0 else 1
+    ticks = (2 * abs(avg_ticks.numerator) + avg_ticks.denominator) // (
+        2 * avg_ticks.denominator
+    )
+    return float(sign * ticks) / 10 ** scale
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_micro_vals, min_size=1, max_size=40))
+def test_micro_avg_matches_exact_model_and_duckdb(spark, values):
+    import duckdb
+
+    from nyc_taxi_data_clickhouse_spark.functions.scalars import (
+        micro_avg,
+        micro_sum,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = (
+        df.agg(micro_sum("value").alias("s6"), F.count("value").alias("cv"))
+        .select(micro_avg("s6", "cv", 4).alias("avg_value"))
+        .collect()[0]["avg_value"]
+    )
+    assert got == _py_micro_avg(values)
+    # the documented DuckDB-oracle spelling computes the identical value
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?::DOUBLE[]) AS value)",
+        [values],
+    )
+    duck = con.execute(
+        """
+        WITH g AS (
+          SELECT CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                              AS BIGINT)) AS BIGINT) AS s6,
+                 count(value) AS cv FROM t)
+        SELECT CAST(CASE WHEN s6 < 0 THEN -1 ELSE 1 END
+                    * ((2*abs(s6) + 100*cv) // nullif(200*cv, 0)) AS DOUBLE)
+                   / 10000 AS avg_value
+        FROM g
+        """
+    ).fetchone()[0]
+    con.close()
+    assert duck == got

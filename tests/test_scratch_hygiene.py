@@ -72,3 +72,30 @@ def test_substring_dup_fraction_single_live_cache(spark):
         sum(1 for k in scratch._last_persisted if k == "ssdf_pos_False_sf0.001")
         == 1
     )
+
+
+def test_track_persist_caps_slots_per_prefix(spark):
+    """ADVICE r8: distinct-input labels under one prefix must not
+    accumulate unboundedly — the oldest same-prefix slot is evicted
+    once MAX_SLOTS_PER_PREFIX live caches exist."""
+    cap = scratch.MAX_SLOTS_PER_PREFIX
+    frames = []
+    for i in range(cap + 2):
+        d = scratch.track_persist(f"t_captest:{i}", spark.range(10 + i))
+        d.count()
+        frames.append(d)
+    live = [k for k in scratch._last_persisted if k.startswith("t_captest:")]
+    assert len(live) == cap
+    # the two oldest were evicted AND unpersisted
+    for d in frames[:2]:
+        assert not (d.storageLevel.useMemory or d.storageLevel.useDisk)
+    for d in frames[-1:]:
+        assert d.storageLevel.useMemory or d.storageLevel.useDisk
+    # other prefixes are untouched by this prefix's eviction
+    other = scratch.track_persist("t_capother:0", spark.range(5))
+    other.count()
+    assert len([k for k in scratch._last_persisted if k.startswith("t_captest:")]) == cap
+    # cleanup
+    for k in list(scratch._last_persisted):
+        if k.startswith(("t_captest:", "t_capother:")):
+            scratch._last_persisted.pop(k).unpersist()

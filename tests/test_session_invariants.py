@@ -73,3 +73,66 @@ def test_nanos_invariant_is_set_by_factory(spark):
     assert (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (VERDICT r8 item 6): changed-code-first
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_names_changed_code_first():
+    """The pure ordering rule: never-verified entries lead in
+    registration order; verified entries whose implementation changed
+    since their verification round come before merely-stale ones; both
+    verified groups are stalest-first."""
+    from nyc_taxi_data_clickhouse_spark.suite import _ordered_names
+
+    order = ["a", "b", "c", "d", "e", "f"]
+    verified = {"b": 3, "c": 1, "d": 5, "f": 2}
+    changed = lambda name, rnd: name in {"d", "f"}  # noqa: E731
+    got = _ordered_names(order, verified, changed)
+    # a, e never verified (registration order); f(2) & d(5) changed,
+    # stalest first; c(1) & b(3) merely stale, stalest first
+    assert got == ["a", "e", "f", "d", "c", "b"]
+
+
+def test_ordered_names_no_changes_degrades_to_staleness():
+    from nyc_taxi_data_clickhouse_spark.suite import _ordered_names
+
+    order = ["x", "y", "z"]
+    verified = {"x": 2, "y": 1, "z": 3}
+    got = _ordered_names(order, verified, lambda n, r: False)
+    assert got == ["y", "x", "z"]
+
+
+def test_registry_ordering_uses_git_changed_files():
+    """End-to-end: _files_changed_since_round reads real git state and
+    the registry consumes it without error; entries implemented in a
+    module that changed since their verified round must sort before
+    unchanged entries of equal-or-staler rounds."""
+    from nyc_taxi_data_clickhouse_spark.suite import (
+        _driver_verified_rounds,
+        _entry_module_relpath,
+        _files_changed_since_round,
+        registry,
+    )
+
+    verified = _driver_verified_rounds()
+    reg = registry()
+    names = list(reg)
+    # every name is present exactly once, whatever the order
+    assert sorted(names) == sorted(set(names))
+    changed_files = _files_changed_since_round(max(verified.values()))
+    assert isinstance(changed_files, frozenset)
+    # invariant: within the verified tail, no unchanged entry of a
+    # strictly staler round may precede a changed entry... (the sort is
+    # total, so it suffices to check group monotonicity)
+    def group(n):
+        if n not in verified:
+            return 0
+        rel = _entry_module_relpath(reg[n])
+        chg = rel is not None and rel in _files_changed_since_round(verified[n])
+        return 1 if chg else 2
+
+    groups = [group(n) for n in names]
+    assert groups == sorted(groups)

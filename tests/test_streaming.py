@@ -30,10 +30,18 @@ def test_hourly_rollup_stream_matches_batch(spark, stream):
     got = ev.run_to_completion(
         ev.hourly_rollup_stream(stream), "rollup_test", output_mode="complete"
     )
+    from nyc_taxi_data_clickhouse_spark.functions.scalars import micro_avg, micro_sum
+
     batch = (
         _batch_events(spark)
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            micro_sum("value").alias("__s6"),
+            F.count("value").alias("__cv"),
+        )
+        .select("hour", "event_type", "cnt",
+                micro_avg("__s6", "__cv", 4).alias("avg_value"))
     )
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
