@@ -198,31 +198,59 @@ def _build_jpeg_codec():
 
     import math as _math
 
+    import numpy as _np
+
     COS = [[_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
            for x in range(8)]
     C = [1 / _math.sqrt(2)] + [1.0] * 7
+    #: IDCT basis M[x,u] = C_u * cos((2x+1)u*pi/16) / 2; the separable
+    #: inverse transform is out = M @ F @ M.T (exactly the two nested
+    #: passes of the former scalar loop, each pass one matmul)
+    IDCT_M = _np.array(
+        [[C[u] * COS[x][u] / 2 for u in range(8)] for x in range(8)]
+    )
+
+    def _idct_blocks(deq):
+        """Batched separable float IDCT (VERDICT r8 item 3): one
+        broadcasted ``M @ F @ M.T`` over an ``(n, 64)`` array of
+        DEQUANTIZED coefficient blocks -> ``(n, 8, 8)`` clamped int
+        samples.  round-half-even + level shift + clamp, identical to
+        the per-sample rule of the former scalar loop; exact for the
+        DC-only and sparse lattice blocks the fixtures use (their
+        values land on integers with wide margins, so BLAS summation
+        order cannot move a sample)."""
+        F_ = _np.asarray(deq, dtype=_np.float64).reshape(-1, 8, 8)
+        out = IDCT_M @ F_ @ IDCT_M.T
+        return _np.clip(_np.rint(out) + 128, 0, 255).astype(_np.int64)
 
     def _idct_block(coeffs):
-        """Separable float IDCT on DEQUANTIZED coefficients -> 64
-        clamped samples; exact for the DC-only and sparse blocks the
-        fixtures use, spec-faithful for everything else."""
-        tmp = [0.0] * 64
-        for y in range(8):
-            for x in range(8):
-                s = 0.0
-                for u in range(8):
-                    s += C[u] * coeffs[y * 8 + u] * COS[x][u]
-                tmp[y * 8 + x] = s / 2
-        outb = [0] * 64
-        for x in range(8):
-            for y in range(8):
-                s = 0.0
-                for v2 in range(8):
-                    s += C[v2] * tmp[v2 * 8 + x] * COS[y][v2]
-                val = int(round(s / 2)) + 128
-                outb[y * 8 + x] = 0 if val < 0 else (255 if val > 255
-                                                     else val)
-        return outb
+        """Single-block convenience wrapper over :func:`_idct_blocks`
+        (kept for the golden tests' one-block probes)."""
+        return _idct_blocks(coeffs)[0].reshape(64).tolist()
+
+    def _assemble_planes(planes, comps, width, height, maxh, maxv):
+        """Vectorized output assembly shared by the sequential and
+        progressive decode paths: nearest-neighbor chroma upsample as
+        one index gather per component (sy = y*v//maxv, sx = x*h//maxh
+        — the exact indices of the former per-pixel loop) and the JFIF
+        YCbCr->RGB conversion as whole-image elementwise expressions
+        with the same per-sample round-half-even + clamp rule."""
+        if len(planes) == 1:
+            return (
+                width, height, 1,
+                planes[0][:height, :width].reshape(-1).tolist(),
+            )
+        imgs = []
+        for ci, c in enumerate(comps):
+            ys = (_np.arange(height) * c["v"]) // maxv
+            xs = (_np.arange(width) * c["h"]) // maxh
+            imgs.append(planes[ci][_np.ix_(ys, xs)].astype(_np.float64))
+        yv, cb, cr = imgs
+        r = _np.rint(yv + 1.402 * (cr - 128))
+        g = _np.rint(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        b = _np.rint(yv + 1.772 * (cb - 128))
+        rgb = _np.clip(_np.stack([r, g, b], axis=-1), 0, 255).astype(_np.int64)
+        return width, height, 3, rgb.reshape(-1).tolist()
 
     def _canonical_codes(bits, vals):
         """(value -> (length, code)) per T.81 C.2 canonical assignment."""
@@ -439,35 +467,102 @@ def _build_jpeg_codec():
         maxv = max(c["v"] for c in comps)
         mcus_x = -(-width // (8 * maxh))
         mcus_y = -(-height // (8 * maxv))
-        planes = []
+        # per-component dequantized coefficient store, filled by the
+        # (inherently sequential) entropy decode below and IDCT'd in
+        # ONE batched numpy call per component afterwards; block order
+        # is MCU-major then (by, bx), which the scatter reshape relies on
+        comp_coefs = []
         for c in comps:
             c["pw"] = mcus_x * c["h"] * 8
-            planes.append([0] * (c["pw"] * mcus_y * c["v"] * 8))
+            comp_coefs.append(
+                _np.zeros((mcus_x * mcus_y * c["h"] * c["v"], 64))
+            )
 
-        acc = nbits = 0
-        bpos = dpos
+        # --- fast entropy decode (VERDICT r8 item 3) -------------------
+        # The former per-bit reader (one function call per BIT, with
+        # inline 0xFF00 unstuffing) dominated decode time once the IDCT
+        # was batched.  Two structural changes, same decoded bits:
+        # (1) the entropy stream is pre-unstuffed ONCE into contiguous
+        #     restart segments (RSTn markers are exactly the segment
+        #     boundaries the spec defines);
+        # (2) bits come from a bulk accumulator (one fill per BYTE) and
+        #     Huffman symbols resolve through a 256-entry prefix LUT
+        #     (codes <= 8 bits — the overwhelming majority under Annex K
+        #     tables — cost one peek; longer codes fall back to the
+        #     canonical walk).
+        segs = []
+        cur = bytearray()
+        p = dpos
+        while p < len(payload):
+            b = payload[p]
+            if b != 0xFF:
+                cur.append(b)
+                p += 1
+                continue
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: restart-segment boundary
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # real marker (EOI / next header): entropy data ends
+        segs.append(bytes(cur))
 
-        def next_bit():
+        def _prefix_lut(table):
+            """(value, length) for every 8-bit prefix whose leading
+            bits form a code of length <= 8; None -> walk the long
+            codes bitwise."""
+            lut = [None] * 256
+            for (length, code), val in table.items():
+                if length <= 8:
+                    base = code << (8 - length)
+                    for i in range(1 << (8 - length)):
+                        lut[base + i] = (val, length)
+            return lut
+
+        luts = {key: _prefix_lut(tbl) for key, tbl in huff.items()}
+
+        seg_i = 0
+        ent = segs[0]
+        elen = len(ent)
+        acc = nbits = bpos = 0
+
+        def fill(n):
             nonlocal acc, nbits, bpos
-            if nbits == 0:
-                b = payload[bpos]
+            while nbits < n:
+                if bpos >= elen:
+                    return False
+                acc = ((acc & ((1 << nbits) - 1)) << 8) | ent[bpos]
                 bpos += 1
-                if b == 0xFF:
-                    if payload[bpos] == 0x00:
-                        bpos += 1  # unstuff
-                    else:
-                        return None  # hit a marker: decoder must not be here
-                acc, nbits = b, 8
-            nbits -= 1
-            return (acc >> nbits) & 1
+                nbits += 8
+            return True
 
-        def read_huff(table):
-            code, length = 0, 0
+        def get_bits(n):
+            nonlocal nbits
+            if n == 0:
+                return 0
+            if not fill(n):
+                raise ValueError("hit marker inside entropy data")
+            nbits -= n
+            return (acc >> nbits) & ((1 << n) - 1)
+
+        def read_huff(key):
+            nonlocal nbits
+            if fill(8):
+                hit = luts[key][(acc >> (nbits - 8)) & 0xFF]
+                if hit is not None:
+                    nbits -= hit[1]
+                    return hit[0]
+                code, length = get_bits(8), 8
+            else:
+                code, length = 0, 0
+            table = huff[key]
             while length < 16:
-                bit = next_bit()
-                if bit is None:
-                    raise ValueError("hit marker inside entropy data")
-                code = (code << 1) | bit
+                code = (code << 1) | get_bits(1)
                 length += 1
                 v = table.get((length, code))
                 if v is not None:
@@ -477,75 +572,58 @@ def _build_jpeg_codec():
         def receive_extend(size):
             if size == 0:
                 return 0
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | next_bit()
+            v = get_bits(size)
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-        idct_block = _idct_block
 
         preds = [0] * len(comps)
         for m in range(mcus_x * mcus_y):
             if restart_interval and m and m % restart_interval == 0:
-                nbits = 0  # byte-align
-                while payload[bpos] == 0xFF and payload[bpos + 1] == 0x00:
-                    bpos += 2
-                if payload[bpos] == 0xFF and 0xD0 <= payload[bpos + 1] <= 0xD7:
-                    bpos += 2
+                if seg_i + 1 < len(segs):  # consume the RSTn boundary
+                    seg_i += 1
+                    ent = segs[seg_i]
+                    elen = len(ent)
+                    acc = nbits = bpos = 0
                     preds = [0] * len(comps)
-            my, mx = divmod(m, mcus_x)
+                else:  # no marker present: byte-align only (legacy rule)
+                    nbits -= nbits % 8
             for ci, c in enumerate(comps):
                 td, ta = sel[c["id"]]
                 qt = quant[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeffs = [0] * 64
-                        size = read_huff(huff[(0, td)])
-                        preds[ci] += receive_extend(size)
-                        coeffs[0] = preds[ci] * qt[0]
-                        zi = 1
-                        while zi <= 63:
-                            rs = read_huff(huff[(1, ta)])
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    zi += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            zi += run
-                            if zi > 63:
-                                raise ValueError("AC index overflow")
-                            coeffs[ZZ[zi]] = receive_extend(size) * qt[ZZ[zi]]
-                            zi += 1
-                        px = idct_block(coeffs)
-                        plane, pw = planes[ci], c["pw"]
-                        ox = (mx * c["h"] + bx) * 8
-                        oy = (my * c["v"] + by) * 8
-                        for yy in range(8):
-                            row = (oy + yy) * pw + ox
-                            plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+                nsub = c["v"] * c["h"]
+                dc_key, ac_key = (0, td), (1, ta)
+                for sub in range(nsub):
+                    coeffs = [0] * 64
+                    size = read_huff(dc_key)
+                    preds[ci] += receive_extend(size)
+                    coeffs[0] = preds[ci] * qt[0]
+                    zi = 1
+                    while zi <= 63:
+                        rs = read_huff(ac_key)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:
+                                zi += 16  # ZRL
+                                continue
+                            break  # EOB
+                        zi += run
+                        if zi > 63:
+                            raise ValueError("AC index overflow")
+                        coeffs[ZZ[zi]] = receive_extend(size) * qt[ZZ[zi]]
+                        zi += 1
+                    comp_coefs[ci][m * nsub + sub] = coeffs
 
-        if len(comps) == 1:
-            pw = comps[0]["pw"]
-            pixels = [planes[0][y * pw + x]
-                      for y in range(height) for x in range(width)]
-            return width, height, 1, pixels
-        pixels = []
-        for y in range(height):
-            for x in range(width):
-                smp = []
-                for ci, c in enumerate(comps):
-                    sy = y * c["v"] // maxv
-                    sx = x * c["h"] // maxh
-                    smp.append(planes[ci][sy * c["pw"] + sx])
-                yv, cb, cr = smp
-                r = int(round(yv + 1.402 * (cr - 128)))
-                g = int(round(yv - 0.344136 * (cb - 128)
-                              - 0.714136 * (cr - 128)))
-                b = int(round(yv + 1.772 * (cb - 128)))
-                pixels += [max(0, min(255, r)), max(0, min(255, g)),
-                           max(0, min(255, b))]
-        return width, height, 3, pixels
+        planes = []
+        for ci, c in enumerate(comps):
+            px = _idct_blocks(comp_coefs[ci])  # (n_blocks, 8, 8)
+            # scatter: block bi = (my*mcus_x + mx)*v*h + by*h + bx lands
+            # at block-grid (my*v+by, mx*h+bx) — a pure reshape/transpose
+            plane = (
+                px.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcus_y * c["v"] * 8, c["pw"])
+            )
+            planes.append(plane)
+        return _assemble_planes(planes, comps, width, height, maxh, maxv)
 
     # ---- progressive decoder (ITU-T T.81 SOF2) --------------------------
     def parse_progressive(payload):
@@ -836,40 +914,19 @@ def _build_jpeg_codec():
 
         planes = []
         for ci, c in enumerate(comps):
-            qt = quant[c["tq"]]
-            pw = c["bw"] * 8
-            c["pw"] = pw
-            plane = [0] * (pw * c["bh"] * 8)
-            for bi, blk in enumerate(coeff[ci]):
-                deq = [blk[i] * qt[i] for i in range(64)]
-                px = _idct_block(deq)
-                by, bx = divmod(bi, c["bw"])
-                for yy in range(8):
-                    row = (by * 8 + yy) * pw + bx * 8
-                    plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+            qt = _np.asarray(quant[c["tq"]], dtype=_np.float64)
+            c["pw"] = c["bw"] * 8
+            # dequantize every block at once, batch-IDCT, scatter by
+            # reshape (block bi = by*bw + bx -> block grid (by, bx))
+            deq = _np.asarray(coeff[ci], dtype=_np.float64) * qt
+            px = _idct_blocks(deq)
+            plane = (
+                px.reshape(c["bh"], c["bw"], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(c["bh"] * 8, c["pw"])
+            )
             planes.append(plane)
-
-        if len(comps) == 1:
-            pw = comps[0]["pw"]
-            pixels = [planes[0][y * pw + x]
-                      for y in range(height) for x in range(width)]
-            return width, height, 1, pixels
-        pixels = []
-        for y in range(height):
-            for x in range(width):
-                smp = []
-                for ci, c in enumerate(comps):
-                    sy = y * c["v"] // maxv
-                    sx = x * c["h"] // maxh
-                    smp.append(planes[ci][sy * c["pw"] + sx])
-                yv, cb, cr = smp
-                r = int(round(yv + 1.402 * (cr - 128)))
-                g = int(round(yv - 0.344136 * (cb - 128)
-                              - 0.714136 * (cr - 128)))
-                b = int(round(yv + 1.772 * (cb - 128)))
-                pixels += [max(0, min(255, r)), max(0, min(255, g)),
-                           max(0, min(255, b))]
-        return width, height, 3, pixels
+        return _assemble_planes(planes, comps, width, height, maxh, maxv)
 
     # ---- progressive encoder (test-vector / fixture source) -------------
     #: flat-depth Huffman tables covering EVERY progressive symbol:
@@ -1483,10 +1540,18 @@ def _build_gif_codec():
             indices = _lzw_decode(bytes(lzw), min_code)
             if len(indices) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
-            pixels = []
-            for idx in indices[: iw * ih]:
-                o = 3 * idx
-                pixels.extend(pal[o : o + 3])
+            # palette mapping + output assembly vectorized (VERDICT r8
+            # item 3): one fancy-index gather replaces the per-pixel
+            # extend loop; the LZW dictionary decode above is
+            # inherently sequential (each entry depends on the prior
+            # code) and stays a loop, as in giflib
+            import numpy as _np
+
+            pal_arr = _np.frombuffer(bytes(pal), dtype=_np.uint8).reshape(-1, 3)
+            idx = _np.frombuffer(indices, dtype=_np.uint8, count=iw * ih)
+            if int(idx.max(initial=0)) >= pal_arr.shape[0]:
+                raise ValueError("GIF pixel index beyond color table")
+            pixels = pal_arr[idx].reshape(-1).tolist()
             return iw, ih, 3, pixels
         raise ValueError("GIF missing image descriptor")
 
@@ -1583,16 +1648,18 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
     import struct as _struct
     import wave as _wave
 
+    import numpy as _np
+
     def _hist(values, top):
-        """feature_dim-bin normalized histogram of ints in [0, top]."""
-        counts = [0] * feature_dim
-        if not values:
+        """feature_dim-bin normalized histogram of ints in [0, top] —
+        one bincount over the vectorized bin rule (same integer
+        arithmetic as the former per-value loop)."""
+        if len(values) == 0:
             return [0.0] * feature_dim
-        span = top + 1
-        for v in values:
-            counts[min(v * feature_dim // span, feature_dim - 1)] += 1
-        n = float(len(values))
-        return [c / n for c in counts]
+        v = _np.asarray(values, dtype=_np.int64)
+        bins = _np.minimum(v * feature_dim // (top + 1), feature_dim - 1)
+        counts = _np.bincount(bins, minlength=feature_dim)
+        return (counts / float(len(values))).tolist()
 
     def _parse_netpbm(payload):
         # Tokenizer: magic, width, height, maxval; '#' comments run to
@@ -1641,17 +1708,24 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
         bottom_up = height > 0
         height = abs(height)
         stride = (width * 3 + 3) // 4 * 4
-        pixels = []
-        for row in range(height):
-            src_row = (height - 1 - row) if bottom_up else row
-            base = data_offset + src_row * stride
-            line = payload[base : base + width * 3]
-            if len(line) != width * 3:
-                raise ValueError("BMP pixel data truncated")
-            for x in range(width):
-                b, g, r = line[3 * x], line[3 * x + 1], line[3 * x + 2]
-                pixels.extend((r, g, b))
-        return width, height, 3, pixels
+        if len(payload) < data_offset + height * stride - (stride - width * 3):
+            raise ValueError("BMP pixel data truncated")
+        # strided view over the raster: (height, stride) rows, keep the
+        # width*3 payload bytes, flip rows if bottom-up, and reverse the
+        # per-pixel byte order BGR->RGB — all as numpy slicing
+        raster = _np.frombuffer(
+            payload,
+            dtype=_np.uint8,
+            count=(height - 1) * stride + width * 3,
+            offset=data_offset,
+        )
+        rows = _np.lib.stride_tricks.as_strided(
+            raster, shape=(height, width * 3), strides=(stride, 1)
+        )
+        if bottom_up:
+            rows = rows[::-1]
+        rgb = rows.reshape(height, width, 3)[:, :, ::-1]
+        return width, height, 3, rgb.reshape(-1).tolist()
 
     def _parse_png(payload):
         # Pure-stdlib PNG: chunk walk + zlib inflate + the 5 scanline
@@ -1696,29 +1770,55 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
         stride = width * channels
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG pixel data truncated")
-        recon = bytearray()
-        prev = bytearray(stride)
-        p = 0
-        for _y in range(height):
-            f = raw[p]
-            p += 1
-            line = bytearray(raw[p : p + stride])
-            p += stride
-            if f == 1:  # Sub
-                for i in range(channels, stride):
-                    line[i] = (line[i] + line[i - channels]) & 0xFF
-            elif f == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif f == 3:  # Average
+        # numpy scanline reconstruction (VERDICT r8 item 3): the raw
+        # buffer views as (height, 1+stride) rows; filters None/Up/Sub
+        # vectorize whole-row (Up is one wrapping uint8 add against the
+        # prior reconstructed row; Sub is a per-channel cumulative sum —
+        # mod-256 distributes over addition, so cumsum-then-mask is the
+        # exact recurrence).  Average and Paeth carry a true
+        # left-neighbor data dependency (recon[x] needs recon[x-bpp])
+        # and stay sequential along x — as in every decoder, including
+        # libpng; a per-pixel numpy formulation was measured SLOWER
+        # than the byte loop (3-wide vector ops don't amortize ufunc
+        # overhead), so those two rows keep the small-int loop.
+        import numpy as _np
+
+        rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(
+            height, stride + 1
+        )
+        ftypes = rows[:, 0]
+        bad = [int(f) for f in _np.unique(ftypes) if f > 4]
+        if bad:
+            raise ValueError(f"unknown PNG filter type {bad[0]}")
+        recon = _np.empty((height, stride), dtype=_np.uint8)
+        zero_prev = _np.zeros(stride, dtype=_np.uint8)
+        for y in range(height):
+            f = int(ftypes[y])
+            prev = recon[y - 1] if y else zero_prev
+            if f == 0:
+                recon[y] = rows[y, 1:]
+            elif f == 1:  # Sub: cumulative sum per channel offset
+                csum = _np.cumsum(
+                    rows[y, 1:].reshape(width, channels).astype(_np.int64),
+                    axis=0,
+                )
+                recon[y] = (csum & 0xFF).astype(_np.uint8).reshape(stride)
+            elif f == 2:  # Up: one wrapping add (uint8 wraps = mod 256)
+                recon[y] = rows[y, 1:] + prev
+            elif f == 3:  # Average: sequential byte loop (data dep)
+                line = bytearray(rows[y, 1:].tobytes())
+                pv = prev.tobytes()
                 for i in range(stride):
                     a = line[i - channels] if i >= channels else 0
-                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-            elif f == 4:  # Paeth
+                    line[i] = (line[i] + ((a + pv[i]) >> 1)) & 0xFF
+                recon[y] = _np.frombuffer(bytes(line), dtype=_np.uint8)
+            else:  # Paeth: sequential byte loop (data dep)
+                line = bytearray(rows[y, 1:].tobytes())
+                pv = prev.tobytes()
                 for i in range(stride):
                     a = line[i - channels] if i >= channels else 0
-                    b = prev[i]
-                    c = prev[i - channels] if i >= channels else 0
+                    b = pv[i]
+                    c = pv[i - channels] if i >= channels else 0
                     pp = a + b - c
                     pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                     if pa <= pb and pa <= pc:
@@ -1728,11 +1828,8 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
                     else:
                         pr = c
                     line[i] = (line[i] + pr) & 0xFF
-            elif f != 0:
-                raise ValueError(f"unknown PNG filter type {f}")
-            recon.extend(line)
-            prev = line
-        return width, height, channels, list(recon)
+                recon[y] = _np.frombuffer(bytes(line), dtype=_np.uint8)
+        return width, height, channels, recon.reshape(-1).tolist()
 
     def _parse_wav(payload):
         with _wave.open(_io.BytesIO(payload), "rb") as w:
@@ -1742,9 +1839,13 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             nframes = w.getnframes()
             raw = w.readframes(nframes)
         if sampwidth == 2:
-            samples = [s[0] for s in _struct.iter_unpack("<h", raw)]
-        elif sampwidth == 1:
-            samples = [b - 128 for b in raw]  # unsigned 8-bit PCM
+            samples = _np.frombuffer(
+                raw, dtype="<i2", count=len(raw) // 2
+            ).astype(_np.int64).tolist()
+        elif sampwidth == 1:  # unsigned 8-bit PCM
+            samples = (
+                _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64) - 128
+            ).tolist()
         else:
             raise ValueError(f"sample width {sampwidth} unsupported")
         return rate, nchan, nframes, samples
@@ -1793,20 +1894,21 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
                 height=h,
                 channels=c,
                 n_pixels=w * h,
-                pixel_sum=sum(pixels),
+                pixel_sum=int(_np.sum(_np.asarray(pixels, dtype=_np.int64))),
                 feature=_hist(pixels, 255),
                 pixels=pixels,
             )
         elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
             rate, nchan, nframes, samples = _parse_wav(payload)
-            peak = max((abs(s) for s in samples), default=0)
+            mags = _np.abs(_np.asarray(samples, dtype=_np.int64))
+            peak = int(mags.max(initial=0))
             out.update(
                 kind="audio",
                 channels=nchan,
                 sample_rate=rate,
                 n_samples=nframes,
-                abs_sum=sum(abs(s) for s in samples),
-                feature=_hist([abs(s) for s in samples], max(peak, 1)),
+                abs_sum=int(mags.sum()),
+                feature=_hist(mags, max(peak, 1)),
                 samples=samples,
             )
         elif fake:
@@ -2229,20 +2331,20 @@ def resize_images(
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        import numpy as _np
         import pandas as _pd
 
         def _nearest(pixels, iw, ih, c, ow, oh):
             # output is always P6 RGB: drop alpha (c=4 RGBA / c=2
-            # gray+alpha), replicate gray (c=1/2) across RGB
-            out = bytearray()
-            for y in range(oh):
-                sy = y * ih // oh
-                for x in range(ow):
-                    sx = x * iw // ow
-                    base = (sy * iw + sx) * c
-                    px = pixels[base : base + c]
-                    out.extend(px[:3] if c >= 3 else px[:1] * 3)
-            return bytes(out)
+            # gray+alpha), replicate gray (c=1/2) across RGB — one
+            # numpy index gather (sy = y*ih//oh, sx = x*iw//ow: the
+            # same floor rule as the former per-pixel loop)
+            img = _np.asarray(pixels, dtype=_np.uint8).reshape(ih, iw, c)
+            ys = _np.arange(oh) * ih // oh
+            xs = _np.arange(ow) * iw // ow
+            sm = img[_np.ix_(ys, xs)]
+            rgb = sm[:, :, :3] if c >= 3 else _np.repeat(sm[:, :, :1], 3, axis=2)
+            return rgb.tobytes()
 
         def _one(b, m, meta_ow, meta_oh):
             if b is None:
@@ -2316,9 +2418,10 @@ def resample_audio(
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
-        import struct as _struct
+        import struct as _struct  # noqa: F401 — kept for fake-digest path parity
         import wave as _wave
 
+        import numpy as _np
         import pandas as _pd
 
         def _one(b, m, dur_ms):
@@ -2341,28 +2444,40 @@ def resample_audio(
                 ).digest()
                 return n_out, None, digest
             nchan, rate = d["channels"], d["sample_rate"]
-            frames = d["samples"]
-            if nchan > 1:  # average to mono per frame
-                frames = [
-                    sum(frames[i : i + nchan]) // nchan
-                    for i in range(0, len(frames), nchan)
-                ]
+            frames = _np.asarray(d["samples"], dtype=_np.int64)
+            if nchan > 1:  # average to mono per frame (floor div)
+                frames = (
+                    frames[: len(frames) // nchan * nchan]
+                    .reshape(-1, nchan)
+                    .sum(axis=1)
+                    // nchan
+                )
             n_in = len(frames)
             n_out = max(1, n_in * target_hz // rate)
-            out = []
-            for j in range(n_out):
-                pos = j * (n_in - 1) / max(1, n_out - 1) if n_out > 1 else 0.0
-                lo = int(pos)
-                hi = min(lo + 1, n_in - 1)
-                frac = pos - lo
-                out.append(int(round(frames[lo] * (1 - frac) + frames[hi] * frac)))
+            # vectorized linear interpolation — identical per-sample
+            # arithmetic to the former loop (pos/lo/hi/frac, then
+            # round-half-even), just computed for all j at once
+            if n_out > 1:
+                # multiply-then-divide, matching the scalar loop's
+                # j*(n_in-1)/(n_out-1) float-op order exactly (the
+                # pre-divided-factor form can land 1 ulp below an
+                # integer and flip lo at exact grid points)
+                pos = (_np.arange(n_out) * (n_in - 1)) / (n_out - 1)
+            else:
+                pos = _np.zeros(1)
+            lo = pos.astype(_np.int64)
+            hi = _np.minimum(lo + 1, n_in - 1)
+            frac = pos - lo
+            out = _np.rint(
+                frames[lo] * (1 - frac) + frames[hi] * frac
+            ).astype(_np.int64)
             buf = _io.BytesIO()
             with _wave.open(buf, "wb") as f:
                 f.setnchannels(1)
                 f.setsampwidth(2)
                 f.setframerate(target_hz)
-                f.writeframes(b"".join(_struct.pack("<h", s) for s in out))
-            return n_out, sum(abs(s) for s in out), buf.getvalue()
+                f.writeframes(out.astype("<i2").tobytes())
+            return n_out, int(_np.abs(out).sum()), buf.getvalue()
 
         for pdf in batches:
             rows = [
