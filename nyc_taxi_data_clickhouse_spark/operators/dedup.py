@@ -179,6 +179,16 @@ def _verified_jaccard(
     )
 
 
+#: measured ratio of the shingle self-join's SORT bytes to the docs
+#: table's on-disk bytes, from the r8 x256 decade probe: 229 MB of
+#: salted documents.parquet sorted 70.4 GB inside the 32-partition
+#: self-join (~300x; the explode turns every compressed text byte into
+#: ~a (hash, id) shuffle row).  Rounded down to 256 so the derived
+#: count lands at ~458 partitions for that probe — the same regime as
+#: the measured-good 512 (spill 70.4 -> 38.6 GB, CPU -26 %).
+JACCARD_SHUFFLE_EXPANSION = 256.0
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,6 +196,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
@@ -200,8 +211,31 @@ def ngram_jaccard_pairs(
     sub-cap shingle — i.e. pure-boilerplate near-dups, which exact
     dedup on normalized text catches far more cheaply.  Without a cap
     the fused single-pass plan is used.
+
+    ``shuffle_partitions`` (VERDICT r8 item 1): partition count for the
+    shingle-keyed exchange feeding the self-join.  Default None derives
+    it from the input's plan-size bytes via
+    :func:`partitioning.sized_shuffle_partitions` (engaging only when
+    the data outgrows the session default, so small-SF plans are
+    byte-identical to the un-sized ones).  Because the hot-shingle
+    groupBy, the anti-join and the self-join all key on ``__sh``, ONE
+    repartition up front is reused by every downstream exchange — the
+    sized shuffle replaces the default-sized one instead of adding a
+    stage; the x256 probe showed the 32-partition self-join sorting
+    2.2 GB/task (70.4 GB spill) where ~512 partitions kept sorts
+    in-memory at -26 % CPU.
     """
+    from nyc_taxi_data_clickhouse_spark.partitioning import (
+        sized_shuffle_partitions,
+    )
+
+    if shuffle_partitions is None:
+        shuffle_partitions = sized_shuffle_partitions(
+            docs.select(id_col, text_col), JACCARD_SHUFFLE_EXPANSION
+        )
     sh = _shingle_table(docs, text_col, id_col, n)
+    if shuffle_partitions:
+        sh = sh.repartition(shuffle_partitions, "__sh")
     sizes = _shingle_sizes(docs, text_col, id_col, n)
 
     if max_df is not None:
@@ -742,10 +776,32 @@ def connected_components_star(
             rh = lambda d: d.hint("shuffle_hash")  # noqa: E731
         else:
             rh = lambda d: d  # noqa: E731
+        # Data-sized round shuffles (VERDICT r8 item 1): the fixpoint
+        # fingerprint already carries the exact entering edge count, so
+        # the round's group/join exchanges can be sized to the data for
+        # free.  ~48 B/edge of sort/hash state per undirected edge row;
+        # engages only when the derived count exceeds the session
+        # default (>~40M edges at 32 cores), so every probe scale and
+        # the sf0.1 headline keep their current byte-identical plans.
+        from nyc_taxi_data_clickhouse_spark.partitioning import (
+            sized_partitions_for_rows,
+        )
+
+        n_round = sized_partitions_for_rows(
+            2 * n_edges, 48.0, pairs.sparkSession
+        )
+        rp = (
+            (lambda d, key: d.repartition(n_round, key))
+            if n_round
+            else (lambda d, key: d)
+        )
         # ---- large-star: from each undirected edge's smaller endpoint
         # u, re-attach the larger endpoint to min(N(u) ∪ {u})
-        und = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
-            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        und = rp(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+                edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            ),
+            "u",
         )
         nbr_min = und.groupBy("u").agg(F.min("v").alias("__mv"))
         large = (
@@ -760,9 +816,10 @@ def connected_components_star(
 
         # ---- small-star over the high->low orientation: (lo, hi) is
         # already that orientation, so N⁻(hi) = its lo partners
-        low_min = edges.groupBy("hi").agg(F.min("lo").alias("__m"))
+        small_in = rp(edges, "hi")
+        low_min = small_in.groupBy("hi").agg(F.min("lo").alias("__m"))
         small = (
-            edges.join(rh(low_min), "hi")
+            small_in.join(rh(low_min), "hi")
             .select(F.col("lo").alias("a"), F.col("__m").alias("b"))
             .union(low_min.select(F.col("hi").alias("a"), F.col("__m").alias("b")))
         )

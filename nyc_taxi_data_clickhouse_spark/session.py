@@ -64,10 +64,15 @@ def get_spark(
         # initialPartitionNum = 16x cores regressed the ENTIRE sf0.1
         # headline 1.2-2.3x (suite 38 -> 53 s): AQE coalescing does not
         # refund the extra task-scheduling floor at small shuffle sizes.
-        # The right control is sizing shuffle_partitions to the DATA
-        # (this factory's parameter / SPARK_GRAFT_SHUFFLE env; a cluster
-        # deploy sizes it to executors x cores anyway) — see BENCH_NOTES
-        # round-8 partition-scaling probe.
+        # The right control is sizing shuffle_partitions to the DATA —
+        # landed in round 9 as partitioning.sized_shuffle_partitions /
+        # sized_partitions_for_rows: the heavy self-join operators
+        # (ngram_jaccard_pairs, connected_components_star rounds)
+        # derive a per-op repartition-by-key count from the input's
+        # plan-size bytes / exact edge counts, engaging only above the
+        # session default so the small-shuffle floor keeps this
+        # factory's core-count setting.  See BENCH_NOTES round-8
+        # partition-scaling probe for the measurements.
         # keep broadcast joins for dim tables (reference joins are all
         # broadcast-sized, SURVEY §2.3); 64m is safe at 128 GiB driver
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

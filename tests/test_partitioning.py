@@ -1,0 +1,120 @@
+"""Data-sized shuffle partitioning for the heavy self-joins
+(VERDICT r8 item 1): engage-only-above-default, exchange reuse, and
+result invariance under the sized plans."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark import partitioning
+from nyc_taxi_data_clickhouse_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_plan_size_bytes_reads_scan_stats(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    size = partitioning.plan_size_bytes(docs.select("doc_id", "text"))
+    assert size is not None and 0 < size < 1 << 40
+
+
+def test_sized_partitions_engage_only_above_default(spark, monkeypatch):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # tiny input: stays on the session default -> None (plan untouched)
+    assert partitioning.sized_shuffle_partitions(docs, 256.0) is None
+    # pretend the scan is 229 MB (the x256 probe's documents.parquet):
+    # 229 MB * 256 / 128 MB = 458 partitions, the measured-good regime
+    monkeypatch.setattr(
+        partitioning, "plan_size_bytes", lambda df: 229 * 1024 * 1024
+    )
+    assert partitioning.sized_shuffle_partitions(docs, 256.0) == 458
+    # the cap bounds runaway estimates
+    monkeypatch.setattr(
+        partitioning, "plan_size_bytes", lambda df: 1 << 50
+    )
+    assert (
+        partitioning.sized_shuffle_partitions(docs, 256.0)
+        == partitioning.MAX_SIZED_PARTITIONS
+    )
+
+
+def test_sized_partitions_for_rows():
+    class _FakeConf:
+        def get(self, key):
+            return "32"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    spark = _FakeSpark()
+    # below the engage point (10M rows * 48 B = 480 MB -> 4 < 32): None
+    assert partitioning.sized_partitions_for_rows(10_000_000, 48.0, spark) is None
+    # 20G undirected edge rows * 48 B / 128 MB = ~7.2k -> capped at 4096
+    assert (
+        partitioning.sized_partitions_for_rows(20_000_000_000, 48.0, spark)
+        == partitioning.MAX_SIZED_PARTITIONS
+    )
+    # mid-range engages with the exact ceil (200M rows -> 72)
+    got = partitioning.sized_partitions_for_rows(200_000_000, 48.0, spark)
+    assert got == -(-200_000_000 * 48 // (128 * 1024 * 1024)) == 72
+
+
+def test_jaccard_sized_shuffle_is_reused_not_added(spark):
+    """With an explicit shuffle_partitions, the fused plan carries the
+    sized exchange on __sh and NO default-sized exchange on __sh — the
+    repartition replaces the join/group shuffle instead of stacking a
+    second one."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.8, shuffle_partitions=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__sh" in plan
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for line in plan.splitlines():
+        if "hashpartitioning(__sh" in line:
+            assert f", {default})" not in line, line
+            assert ", 7)" in line or "REPARTITION_BY_NUM" in line, line
+
+
+def test_jaccard_results_invariant_under_sizing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=100
+        ).collect()
+    }
+    sized = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=100, shuffle_partitions=7
+        ).collect()
+    }
+    assert base == sized and base  # non-trivial corpus
+
+
+def test_star_cc_labels_invariant_under_forced_round_sizing(spark, monkeypatch):
+    """Force the round-sizing path on (it only self-engages past ~40M
+    edges) and assert identical component labels on an irregular graph."""
+    rng = random.Random(5)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(100), rng.randrange(100)) for _ in range(160)],
+        "id_a long, id_b long",
+    ).filter("id_a <> id_b")
+    plain = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(
+            pairs, local_finish_edges=0
+        ).collect()
+    }
+    monkeypatch.setattr(
+        partitioning, "sized_partitions_for_rows", lambda *a, **k: 5
+    )
+    forced = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(
+            pairs, local_finish_edges=0
+        ).collect()
+    }
+    assert plain == forced and plain
