@@ -118,13 +118,24 @@ def bench_query(spark, name: str, sf_dir: str, repeats: int, warmups: int = 1):
     a burst must swallow all N repeats to fake a regression there."""
     spec = suite.registry()[name]
     times = []
-    for i in range(warmups + repeats):
+    i = 0
+    goal = warmups + repeats
+    while i < goal:
         quiesce(spark)
         t0 = time.perf_counter()
         force(spec.spark(spark, sf_dir))
         elapsed = time.perf_counter() - t0
         if i >= warmups:
             times.append(elapsed)
+        i += 1
+        # drift-robust best-of-N for fast queries (VERDICT r8 item 2):
+        # a sub-second query's best-of-3 is one scheduler hiccup away
+        # from a phantom 1.3x "regression", so cheap queries earn extra
+        # repeats until at least 5 timed runs exist.  The extra runs
+        # cost < 2 s each by construction (only sub-2s queries qualify)
+        # and make the recorded best a stable floor.
+        if i == goal and min(times) < 2.0 and len(times) < 5:
+            goal += 5 - len(times)
     return {
         "mean": statistics.mean(times),
         "std": statistics.stdev(times) if len(times) > 1 else 0.0,
@@ -260,25 +271,72 @@ def prior_best_per_query(
     return best
 
 
+def prior_best_scan_rate(current_round: int, sf: float | None = None) -> float | None:
+    """Fastest prior-round ``rows_per_sec_per_core`` (same-sf payloads):
+    the same-protocol host-speed anchor the drift normalization below
+    compares the current run's scan probe against."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    best: float | None = None
+    for p in sorted(here.glob("BENCH_*r*.json")):
+        m = re.match(r"BENCH_(?:local_)?r(\d+)\.json$", p.name)
+        if not m or int(m.group(1)) >= current_round:
+            continue
+        try:
+            payload = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if sf is not None and payload.get("sf") != sf:
+            continue
+        rate = payload.get("rows_per_sec_per_core") or (
+            payload.get("parsed") or {}
+        ).get("rows_per_sec_per_core")
+        if isinstance(rate, (int, float)) and rate > 0:
+            best = max(best or 0.0, float(rate))
+    return best
+
+
+#: ceiling on tripwire relief from host drift: a genuinely slow host
+#: hour relaxes the reference by at most this factor, so a true >=1.6x
+#: plan regression can never hide behind the drift normalizer
+MAX_DRIFT_RELIEF = 1.6
+
+
 def detect_regressions(
-    per_query: dict[str, float], prior_best: dict[str, float], threshold: float = 0.15
+    per_query: dict[str, float],
+    prior_best: dict[str, float],
+    threshold: float = 0.15,
+    host_drift: float = 1.0,
 ) -> tuple[list[str], dict[str, dict[str, float]]]:
     """Queries slower than their best prior recording by more than
     ``threshold`` (relative), with an absolute floor of 0.3 s so
     millisecond-scale jitter on sub-second queries can't trip it.
-    Returns (names, detail{name: {prior, now, ratio}})."""
+
+    ``host_drift`` (VERDICT r8 item 2): the same-run scan probe's
+    slowdown vs the fastest prior round (current raw-scan rows/s/core
+    divided into the prior best).  The r8 driver run recorded a phantom
+    suite-wide 1.27x "regression" on identical code because its prior
+    bests were minted in a faster host hour — identical-code scan
+    throughput itself had dropped 16%.  Scaling each reference by the
+    measured same-run drift (never below 1.0, capped at
+    MAX_DRIFT_RELIEF) makes the tripwire flag only queries that moved
+    MORE than the host did.  Returns (names, detail)."""
+    drift = min(max(host_drift, 1.0), MAX_DRIFT_RELIEF)
     names: list[str] = []
     detail: dict[str, dict[str, float]] = {}
     for name, now in per_query.items():
         prior = prior_best.get(name)
         if prior is None:
             continue
-        if now > prior * (1 + threshold) and now - prior > 0.3:
+        ref = prior * drift
+        if now > ref * (1 + threshold) and now - ref > 0.3:
             names.append(name)
             detail[name] = {
                 "prior_best": round(prior, 4),
                 "now": round(now, 4),
                 "ratio": round(now / prior, 3),
+                "drift_adjusted_ref": round(ref, 4),
             }
     return names, detail
 
@@ -311,11 +369,21 @@ def main() -> None:
         bests[name] = round(r["best"], 4)
 
     round_no = next_round()
+    # same-run host-drift anchor: current scan rows/s/core (measured in
+    # its own clean JVM before the suite ran) vs the fastest prior
+    # round's — identical code both sides, so any ratio > 1 is the
+    # host, not the plans
+    host_drift = 1.0
+    if scan is not None and scan.get("rows_per_sec_per_core"):
+        cur_rate = statistics.median(scan["rows_per_sec_per_core"].values())
+        prior_rate = prior_best_scan_rate(round_no, sf=sf)
+        if prior_rate and cur_rate > 0:
+            host_drift = prior_rate / cur_rate
     # tripwire on per-query BEST repeats (burst-robust): a host-load
     # burst must swallow all N repeats to fake a regression, while a
     # real plan regression raises the best too
     reg_names, reg_detail = detect_regressions(
-        bests, prior_best_per_query(round_no, sf=sf)
+        bests, prior_best_per_query(round_no, sf=sf), host_drift=host_drift
     )
     headline = {
         "metric": "suite_mean_sec",
@@ -329,7 +397,15 @@ def main() -> None:
         # their best prior-round recording; empty = no regressions
         "regressions": reg_names,
     }
-    full = dict(headline, stds=stds, best=bests, regression_detail=reg_detail)
+    full = dict(
+        headline,
+        stds=stds,
+        best=bests,
+        regression_detail=reg_detail,
+        # the measured same-run host-speed ratio the tripwire references
+        # were scaled by (1.0 = no relief; capped at MAX_DRIFT_RELIEF)
+        host_drift=round(min(max(host_drift, 1.0), MAX_DRIFT_RELIEF), 3),
+    )
     if scan is not None:
         full["scan"] = scan
         # headline per-core scan throughput: median across the six

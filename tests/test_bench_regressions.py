@@ -86,3 +86,33 @@ def test_accepted_baseline_raises_reference_only():
     sf01 = bench.prior_best_per_query(current_round=99, sf=0.1)
     assert sf01  # committed history is at sf0.1
     assert bench.prior_best_per_query(current_round=99, sf=123.0) == {}
+
+
+def test_drift_normalization_relaxes_reference():
+    """VERDICT r8 item 2: a measured host slowdown scales the tripwire
+    reference, so identical-code runs on a slow host hour don't flag;
+    relief is capped so a real >=1.6x regression still trips."""
+    prior = {"q1": 2.0, "q2": 1.0}
+    now = {"q1": 2.5, "q2": 2.2}
+    # no drift: both over 15% + the 0.3s floor -> both flag
+    names, _ = bench.detect_regressions(now, prior)
+    assert names == ["q1", "q2"]
+    # host measured 1.3x slower: q1 (1.25x) is inside the drift, q2
+    # (2.2x) is a real regression even after relief
+    names, detail = bench.detect_regressions(now, prior, host_drift=1.3)
+    assert names == ["q2"]
+    assert detail["q2"]["drift_adjusted_ref"] == 1.3
+    # relief never exceeds the cap: a 3x-slow host can't hide 2.2x
+    names, _ = bench.detect_regressions(now, prior, host_drift=3.0)
+    assert names == ["q2"]
+    # drift below 1.0 (host FASTER now) never tightens the reference:
+    # same verdict as the no-drift run
+    names, _ = bench.detect_regressions(now, prior, host_drift=0.5)
+    assert names == ["q1", "q2"]
+
+
+def test_prior_best_scan_rate_reads_history():
+    rate = bench.prior_best_scan_rate(current_round=99, sf=0.1)
+    assert rate is None or rate > 0
+    # excluding all rounds yields no anchor
+    assert bench.prior_best_scan_rate(current_round=0) is None
