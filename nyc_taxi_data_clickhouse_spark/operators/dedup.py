@@ -269,16 +269,27 @@ def ngram_jaccard_pairs(
         capped = sh.join(F.broadcast(hot), "__sh", "left_anti")
         ca = capped.alias("ca")
         cb = capped.alias("cb")
-        inter_c = (
-            ca.join(
-                cb,
-                (F.col("ca.__sh") == F.col("cb.__sh"))
-                & (F.col("ca.__id") < F.col("cb.__id")),
+        pairs_raw = ca.join(
+            cb,
+            (F.col("ca.__sh") == F.col("cb.__sh"))
+            & (F.col("ca.__id") < F.col("cb.__id")),
+        ).select(
+            F.col("ca.__id").alias("id_a"), F.col("cb.__id").alias("id_b")
+        )
+        if shuffle_partitions:
+            # size the PAIR exchange too (r9 x256 arm: with only the
+            # self-join sized, the remaining default-width agg/join
+            # exchanges still spilled 30.7 GB; widening them to the
+            # data zeroed the spill and cut CPU a further 22 %).  The
+            # repartition trades map-side combine for a sized final
+            # aggregation — measured net-positive at the decade (the
+            # per-__sh-partition combine compresses little, because a
+            # pair's shared shingles scatter across shingle partitions)
+            pairs_raw = pairs_raw.repartition(
+                shuffle_partitions, "id_a", "id_b"
             )
-            .groupBy(
-                F.col("ca.__id").alias("id_a"), F.col("cb.__id").alias("id_b")
-            )
-            .agg(F.count("*").alias("__ic"))
+        inter_c = pairs_raw.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("__ic")
         )
         sh_hot = sh.join(F.broadcast(hot), "__sh")
         ha = sh_hot.alias("ha")
@@ -319,11 +330,14 @@ def ngram_jaccard_pairs(
 
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__inter"))
-    )
+    pairs_raw = a.join(
+        b,
+        (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    if shuffle_partitions:
+        # same pair-exchange sizing as the capped branch (see above)
+        pairs_raw = pairs_raw.repartition(shuffle_partitions, "id_a", "id_b")
+    inter = pairs_raw.groupBy("id_a", "id_b").agg(F.count("*").alias("__inter"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = (

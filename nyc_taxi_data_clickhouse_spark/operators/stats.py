@@ -91,7 +91,12 @@ def _group_table_hint(
         # The label carries the analyzed plan's semantic hash: two
         # DIFFERENT stats plans (other df / other qs) never evict each
         # other mid-use, while re-running the same operator on the same
-        # input reuses one slot (bounded cache growth).
+        # input reuses one slot.  Growth across MANY distinct inputs is
+        # bounded too (ADVICE r8): track_persist caps live slots per
+        # label prefix at scratch.MAX_SLOTS_PER_PREFIX, evicting the
+        # oldest — safe because eviction can only hit plans from prior
+        # invocations, whose guard count and downstream joins have
+        # already consumed the cache.
         sem = stats._jdf.queryExecution().analyzed().semanticHash()
         stats = track_persist(f"{label}:{sem}", stats)
         broadcast_stats = stats.limit(bound + 1).count() <= bound

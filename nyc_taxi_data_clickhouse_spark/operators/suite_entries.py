@@ -629,6 +629,47 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_y4m_video",
+    """
+    SELECT doc_id AS media_id,
+           ts AS frame_ts_ms,
+           ts // 200 AS frame_index,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 * 64 * ((doc_id + 11 * (ts // 200)) % 256) AS BIGINT)
+             AS pixel_sum
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, (2 + doc_id % 4) * 200 - 1, 300)) AS ts
+    ) t
+    """,
+    doc="§7 multimodal: REAL raw-video frame sampling over YUV4MPEG2 "
+    "(.y4m) — the canonical uncompressed interchange container "
+    "(VERDICT r8 item 8: a second real video format next to MJPEG-AVI; "
+    "inter-frame codecs H.264/MP4 remain the declared boundary).  "
+    "Per-doc streams are 8x8 C420jpeg at 5 fps with 2 + id%4 frames, "
+    "constant luma (id + 11*f) % 256 and neutral chroma, so the "
+    "decoded pixel_sum is the closed form 3*64*((id + 11*(ts//200)) % "
+    "256) with zero tolerance.  The decode exercises the full path: "
+    "ASCII header parse, FRAME walk, planar slicing, 4:2:0 nearest "
+    "chroma upsample and the JFIF YCbCr->RGB conversion shared with "
+    "the JPEG codec, all inside map-only mapInPandas.",
+)
+def multimodal_y4m_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "y4m"), "payload", "video/x-yuv4mpeg")
+    return decode_video_frames(media, every_ms=300)
+
+
+@register(
     "multimodal_audio_decode",
     """
     SELECT doc_id AS media_id,

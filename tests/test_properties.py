@@ -533,3 +533,88 @@ def test_micro_avg_matches_exact_model_and_duckdb(spark, values):
     ).fetchone()[0]
     con.close()
     assert duck == got
+
+
+# ---------------------------------------------------------------------------
+# Y4M codec (VERDICT r8 item 8): raw planar roundtrip, all colorspaces
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.sampled_from([2, 4, 8, 10]),
+    h=st.sampled_from([2, 4, 6, 8]),
+    cs=st.sampled_from(["C420jpeg", "C444", "Cmono", "C420"]),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_y4m_roundtrip_arbitrary_frames(w, h, cs, n_frames, data):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_y4m_codec,
+    )
+
+    enc, dec, frame_pixels = _build_y4m_codec()
+    if cs in ("C420jpeg", "C420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs == "C444":
+        fsize = 3 * w * h
+    else:
+        fsize = w * h
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=fsize, max_size=fsize
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    payload = enc(w, h, 40_000, frames, colorspace=cs)
+    video = dec(payload)
+    assert video["width"] == w and video["height"] == h
+    assert video["n_frames"] == n_frames
+    assert video["usec_per_frame"] == 40_000
+    assert video["colorspace"] == cs
+    assert [bytes(f) for f in video["frames"]] == frames
+    # frame decode: mono is Y passthrough; color output is clamped RGB
+    w2, h2, c, px = frame_pixels(video, 0)
+    assert (w2, h2) == (w, h)
+    if cs == "Cmono":
+        assert c == 1 and px == list(frames[0][: w * h])
+    else:
+        assert c == 3 and len(px) == 3 * w * h
+        assert all(0 <= v <= 255 for v in px)
+
+
+def test_y4m_neutral_chroma_is_luma_identity():
+    """U=V=128 makes the JFIF conversion exactly (y, y, y) — the
+    closed-form rule the multimodal_y4m_video oracle relies on."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_y4m_codec,
+    )
+
+    enc, dec, frame_pixels = _build_y4m_codec()
+    y = bytes(range(64))
+    payload = enc(8, 8, 200_000, [y + bytes([128]) * 32], colorspace="C420jpeg")
+    w, h, c, px = frame_pixels(dec(payload), 0)
+    assert (w, h, c) == (8, 8, 3)
+    assert px == [v for v in y for _ in range(3)]
+
+
+def test_y4m_rejects_malformed():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_y4m_codec,
+    )
+    import pytest as _pytest
+
+    enc, dec, _ = _build_y4m_codec()
+    with _pytest.raises(ValueError):
+        dec(b"NOTY4M anything")
+    good = enc(4, 4, 100_000, [bytes(16 + 8)], colorspace="C420jpeg")
+    with _pytest.raises(ValueError):
+        dec(good[:-3])  # truncated frame data
+    with _pytest.raises(ValueError):
+        dec(good.replace(b"FRAME", b"FRAMX"))
+    with _pytest.raises(NotImplementedError):
+        dec(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + bytes(32))
