@@ -57,28 +57,35 @@ def test_queries_oracle_keys_consistent():
 
 def test_rotation_orders_stalest_verified_first():
     """Never-driver-verified entries come first (they need their first
-    hash check), and already-verified entries follow in ascending
-    last-verified round, so the driver window's spare slots re-check
-    the stalest green rows instead of trusting them forever."""
+    hash check); verified entries whose implementation module changed
+    since their verification round come next (VERDICT r8 item 6 —
+    the r3 events-timestamp incident class); merely-stale verified
+    entries close, each verified group in ascending last-verified
+    round so the window's spare slots re-check the stalest green rows
+    instead of trusting them forever."""
     from nyc_taxi_data_clickhouse_spark import suite
 
-    order = list(suite.registry())
+    reg = suite.registry()
+    order = list(reg)
     rounds = suite._driver_verified_rounds()
 
-    seen_verified = False
-    last_round = 0
-    for name in order:
+    def group(name: str) -> int:
         if name not in rounds:
-            assert not seen_verified, (
-                f"never-verified entry {name} sorted after verified ones"
-            )
-        else:
-            seen_verified = True
-            assert rounds[name] >= last_round, (
-                f"{name} (r{rounds[name]}) sorted after a fresher entry "
-                f"(r{last_round})"
-            )
-            last_round = rounds[name]
+            return 0
+        rel = suite._entry_module_relpath(reg[name])
+        changed = rel is not None and rel in suite._files_changed_since_round(
+            rounds[name]
+        )
+        return 1 if changed else 2
+
+    groups = [group(n) for n in order]
+    assert groups == sorted(groups), "group order violated (0 < 1 < 2)"
+    for g in (1, 2):
+        members = [n for n in order if group(n) == g]
+        member_rounds = [rounds[n] for n in members]
+        assert member_rounds == sorted(member_rounds), (
+            f"group {g} not stalest-first: {list(zip(members, member_rounds))[:6]}"
+        )
 
 
 def test_rotation_staleness_bounded():
