@@ -1,0 +1,210 @@
+"""Round-9 surface extensions — crawl/curation primitives a 100 TB
+training-data pipeline runs before anything else touches the text.
+
+- ``pii_scrub``: regex PII detection + redaction (emails, IPv4s,
+  SSN-shaped ids, phone numbers) entirely in JVM ``regexp_replace`` /
+  ``regexp_count`` — no UDF, whole-stage-codegen throughout.  The
+  patterns are deliberately restricted to the regex subset whose
+  semantics are IDENTICAL between Java's engine (Spark) and RE2
+  (DuckDB): character classes, bounded quantifiers, ``\\b`` word
+  boundaries — no lookaround, no backreference replacements — so the
+  redaction is oracle-checkable byte-for-byte.  The suite entry
+  injects deterministic PII derived from ``doc_id`` into the synthetic
+  text (which contains no digits), making every count and every
+  scrubbed byte closed-form.
+- ``url_canonicalize``: crawl-dedup URL normalization — strip
+  fragment, lowercase scheme://host, drop the default port, drop
+  ``www.``, remove ``utm_*`` tracking params, SORT the surviving query
+  params, strip trailing path slashes — then exact-dedup on the
+  canonical form.  Pure string/array built-ins (split, higher-order
+  filter, array_sort, array_join); the dedup after canonicalization is
+  one hash aggregation, the same scale shape as ``exact_dedup``.
+
+Reference: no analog (the reference's 9-line trans.py has no text
+surface — SURVEY §0); both entries are DuckDB-oracle-gated with the
+oracle restating the identical normalization in DuckDB's dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+
+# PII patterns — Java/RE2-identical subset only (see module docstring).
+# Scrub ORDER matters and is part of the contract: emails first (their
+# domains would otherwise be visible to no other rule), then IPv4s,
+# then SSN-shaped ids, then phones (3-3-4 with '-' only, disjoint from
+# both the 3-2-4 SSN shape and dotted IPv4s).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str) -> tuple[Column, dict[str, Column]]:
+    """Return ``(scrubbed_text, {kind: count})`` for a text column.
+    Counts are taken on the ORIGINAL text (before any replacement) so
+    each kind reports what it matched independently; the scrub applies
+    the replacements in PII_PATTERNS order."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        kind: F.regexp_count(c, F.lit(pat)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+    scrubbed = c
+    for _kind, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return scrubbed, counts
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append a ``canon_url`` column: the crawl-dedup canonical form of
+    ``url_col`` (rules in the module docstring).  Pure built-ins; at
+    100 TB this is a map-only projection — the dedup that follows is
+    the only shuffle."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")  # strip fragment
+    head_raw = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)", 1)
+    rest = F.substring(u, F.length(head_raw) + 1, F.lit(1 << 30))
+    head = F.lower(head_raw)
+    head = F.regexp_replace(head, ":(443|80)$", "")  # default ports
+    head = F.replace(head, F.lit("://www."), F.lit("://"))
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    # query text after the first '?' ('' when absent)
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, "/+$", "")  # trailing slashes
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (F.length(x) > 0) & ~x.startswith("utm_"),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        head,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+    return df.withColumn("canon_url", canon)
+
+
+@register(
+    "pii_scrub_documents",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com via 10.' || (doc_id % 256)
+                  || '.0.' || ((doc_id * 7) % 256)
+                  || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t,
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t,
+                '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM inj
+    """,
+    doc="round-9 curation: regex PII detection + redaction (email / "
+    "IPv4 / SSN-shaped / phone), JVM regexp built-ins only, byte-exact "
+    "against the DuckDB restatement; deterministic doc_id-derived PII "
+    "injected into the digit-free synthetic text so every count and "
+    "every redacted byte is closed-form.  Patterns restricted to the "
+    "Java==RE2 regex subset (classes, bounded quantifiers, \\b; no "
+    "lookaround, no backref replacement) — the property that makes a "
+    "redaction pipeline auditable across engines.",
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@example.com via 10."), (i % 256).cast("string"),
+        F.lit(".0."), ((i * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-"), F.lpad((i % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((i * 3) % 10000).cast("string"), 4, "0"),
+    )
+    base = docs.select("doc_id", injected.alias("__t"))
+    scrubbed, counts = scrub_pii("__t")
+    return base.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 40) || '.COM:443/Path/'
+               || (doc_id % 500) || '/?b=2&utm_source=feed&a=' || (doc_id % 3)
+               || '#Frag' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             'https://example' || (doc_id % 40) || '.com'
+               || '/Path/' || (doc_id % 500)
+               || '?a=' || (doc_id % 3) || '&b=2' AS canon_url
+      FROM raw)
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY canon_url
+    """,
+    doc="round-9 curation: URL canonicalization + exact dedup — strip "
+    "fragment, lowercase scheme://host, drop default port, drop www., "
+    "remove utm_* params, sort remaining query params, strip trailing "
+    "path slashes; dedup is one hash agg on the canonical form.  The "
+    "entry synthesizes messy urls from doc_id (upper-case host, :443, "
+    "www., utm_ param, unsorted params, trailing slash, fragment); the "
+    "oracle states the expected canonical form CLOSED-FORM rather than "
+    "re-running the normalizer, so a defect in any rule breaks the "
+    "hash.  Path is doc_id%500 so real duplicate groups exist and the "
+    "dedup actually merges.  Only scheme://host is lowercased — path "
+    "case ('/Path/') is preserved, which the closed-form oracle pins.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"), (i % 40).cast("string"),
+            F.lit(".COM:443/Path/"), (i % 500).cast("string"),
+            F.lit("/?b=2&utm_source=feed&a="), (i % 3).cast("string"),
+            F.lit("#Frag"),
+        ).alias("url"),
+    )
+    canon = url_canonicalize(raw, "url")
+    return canon.groupBy("canon_url").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )

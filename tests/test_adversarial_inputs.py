@@ -49,6 +49,11 @@ PROBED = [
     # empty/whitespace texts through JSONL staging
     "substring_dup_fraction",
     "jsonl_ingest",
+    # round-9: PII regexes over empty/unicode text; url canon over the
+    # unchanged doc_id synthesis (text adversaries can't break it, but
+    # the entry must stay total alongside the mutated documents table)
+    "pii_scrub_documents",
+    "url_canonical_dedup",
 ]
 
 

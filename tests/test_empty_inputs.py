@@ -59,6 +59,10 @@ PROBED = [
     "streaming_session_window_append",
     "multimodal_progressive_jpeg",
     "mad_outliers",
+    # round-9 additions
+    "multimodal_y4m_video",
+    "pii_scrub_documents",
+    "url_canonical_dedup",
 ]
 
 

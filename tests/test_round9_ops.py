@@ -1,0 +1,92 @@
+"""Round-9 curation primitives: PII scrub and URL canonicalization
+edge cases the closed-form suite oracles don't reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.round9_ops import (
+    scrub_pii,
+    url_canonicalize,
+)
+
+
+def _scrub_one(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    scrubbed, counts = scrub_pii("t")
+    row = df.select(
+        scrubbed.alias("s"), *(c.alias(k) for k, c in counts.items())
+    ).collect()[0]
+    return row["s"], {k: row[k] for k in counts}
+
+
+def test_scrub_pii_all_kinds(spark):
+    s, n = _scrub_one(
+        spark,
+        "mail a.b+c@ex-ample.co.uk ip 192.168.0.1 ssn 123-45-6789 "
+        "tel 555-867-5309 done",
+    )
+    assert s == "mail <EMAIL> ip <IP> ssn <ID> tel <PHONE> done"
+    assert n == {"email": 1, "ip": 1, "ssn": 1, "phone": 1}
+
+
+def test_scrub_pii_boundaries_and_negatives(spark):
+    # versions, decimals and long digit runs must NOT be redacted
+    s, n = _scrub_one(
+        spark, "v1.2.3.4.5 pi 3.14 big 1234-567-8901 id 12-34-5678"
+    )
+    # 1.2.3.4 inside 1.2.3.4.5 is boundary-blocked on the right
+    assert n["phone"] == 0 and n["ssn"] == 0
+    assert "<PHONE>" not in s and "<ID>" not in s
+    # clean text is untouched
+    s2, n2 = _scrub_one(spark, "no pii here at all")
+    assert s2 == "no pii here at all"
+    assert all(v == 0 for v in n2.values())
+
+
+def test_scrub_pii_multiple_matches_count(spark):
+    s, n = _scrub_one(spark, "a@b.co c@d.io e@f.net")
+    assert n["email"] == 3
+    assert s == "<EMAIL> <EMAIL> <EMAIL>"
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return url_canonicalize(df, "url").collect()[0]["canon_url"]
+
+
+def test_url_canonicalize_full_rule_set(spark):
+    got = _canon(
+        spark,
+        "HTTPS://WWW.Example.COM:443/A/B/?b=2&utm_source=x&a=1#frag",
+    )
+    assert got == "https://example.com/A/B?a=1&b=2"
+
+
+def test_url_canonicalize_edge_cases(spark):
+    # no query, trailing slashes, port 80
+    assert _canon(spark, "http://Host.Org:80/x///") == "http://host.org/x"
+    # already canonical stays fixed-point
+    assert (
+        _canon(spark, "https://example.com/A/B?a=1&b=2")
+        == "https://example.com/A/B?a=1&b=2"
+    )
+    # only utm params -> query dropped entirely
+    assert (
+        _canon(spark, "https://e.com/p?utm_a=1&utm_b=2")
+        == "https://e.com/p"
+    )
+    # root path, fragment only
+    assert _canon(spark, "https://WWW.E.com/#top") == "https://e.com"
+    # www in the PATH is untouched; only the host prefix is stripped
+    assert (
+        _canon(spark, "https://a.com/www.keep/")
+        == "https://a.com/www.keep"
+    )
+
+
+def test_url_canonicalize_idempotent(spark):
+    url = "HTTP://WWW.A.com:80/P/?z=9&utm_x=1&a=0#f"
+    once = _canon(spark, url)
+    again = _canon(spark, once)
+    assert once == again == "http://a.com/P?a=0&z=9"
