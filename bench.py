@@ -87,6 +87,10 @@ DEFAULT_QUERIES = [
     # twin `substring_dup_fraction` stays oracle-gated but off the
     # headline — its 20-char shuffle key overstated the operator's cost
     "substring_dup_fraction_hashed",
+    # round-9 curation primitives + the raw-video decode path
+    "pii_scrub_documents",
+    "url_canonical_dedup",
+    "multimodal_y4m_video",
 ]
 
 
