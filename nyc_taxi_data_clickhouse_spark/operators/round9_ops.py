@@ -92,9 +92,36 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canon_url", canon)
 
 
-@register(
-    "pii_scrub_documents",
-    r"""
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, __t): deterministic doc_id-derived PII appended to the
+    digit-free synthetic text — the fixture both PII entries (batch and
+    streaming) scrub, mirrored closed-form in their shared oracle."""
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@example.com via 10."), (i % 256).cast("string"),
+        F.lit(".0."), ((i * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-"), F.lpad((i % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((i * 3) % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", injected.alias("__t"))
+
+
+def _scrub_report(base: DataFrame) -> DataFrame:
+    scrubbed, counts = scrub_pii("__t")
+    return base.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+PII_ORACLE = r"""
     WITH inj AS (
       SELECT doc_id,
              text || ' contact user' || doc_id
@@ -125,7 +152,12 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
                '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
     FROM inj
-    """,
+    """
+
+
+@register(
+    "pii_scrub_documents",
+    PII_ORACLE,
     doc="round-9 curation: regex PII detection + redaction (email / "
     "IPv4 / SSN-shaped / phone), JVM regexp built-ins only, byte-exact "
     "against the DuckDB restatement; deterministic doc_id-derived PII "
@@ -137,25 +169,39 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
 )
 def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    injected = F.concat(
-        F.col("text"),
-        F.lit(" contact user"), i.cast("string"),
-        F.lit("@example.com via 10."), (i % 256).cast("string"),
-        F.lit(".0."), ((i * 7) % 256).cast("string"),
-        F.lit(" ssn 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0"),
-        F.lit(" tel 555-"), F.lpad((i % 1000).cast("string"), 3, "0"),
-        F.lit("-"), F.lpad(((i * 3) % 10000).cast("string"), 4, "0"),
+    return _scrub_report(_inject_pii(docs))
+
+
+@register(
+    "streaming_pii_scrub",
+    PII_ORACLE,
+    doc="round-9 curation, streaming twin of pii_scrub_documents: the "
+    "scrub is a STATELESS projection, so the identical operator applies "
+    "to a document stream unchanged — append mode, no watermark, no "
+    "state store; drained with availableNow against the same "
+    "closed-form oracle (stream==batch convergence for map-only "
+    "curation, the property that lets a 100 TB pipeline run its "
+    "redaction pass incrementally on arriving shards).",
+)
+def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        run_to_completion,
     )
-    base = docs.select("doc_id", injected.alias("__t"))
-    scrubbed, counts = scrub_pii("__t")
-    return base.select(
-        "doc_id",
-        counts["email"].alias("n_email"),
-        counts["ip"].alias("n_ip"),
-        counts["ssn"].alias("n_ssn"),
-        counts["phone"].alias("n_phone"),
-        scrubbed.alias("scrubbed"),
+
+    batch = load_table(spark, sf_dir, "documents")
+    # the file stream source requires a DIRECTORY: stream the sf dir
+    # with a glob filter for the documents file (same pattern as
+    # streaming.events.read_events_stream)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = _scrub_report(_inject_pii(stream))
+    return run_to_completion(
+        out, f"pii_stream_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
 
 

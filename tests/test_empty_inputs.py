@@ -63,6 +63,7 @@ PROBED = [
     "multimodal_y4m_video",
     "pii_scrub_documents",
     "url_canonical_dedup",
+    "streaming_pii_scrub",
 ]
 
 
