@@ -275,14 +275,23 @@ def prior_best_per_query(
     return best
 
 
-def prior_best_scan_rate(current_round: int, sf: float | None = None) -> float | None:
-    """Fastest prior-round ``rows_per_sec_per_core`` (same-sf payloads):
+def prior_scan_rate_anchor(
+    current_round: int, sf: float | None = None
+) -> float | None:
+    """MEDIAN prior-round ``rows_per_sec_per_core`` (same-sf payloads):
     the same-protocol host-speed anchor the drift normalization below
-    compares the current run's scan probe against."""
+    compares the current run's scan probe against.  Median, not max
+    (ADVICE r9): anchoring to the best-EVER rate made relief > 1 on
+    almost every run — an extreme-value anchor that systematically
+    relaxed the tripwire (a real plan regression up to
+    ~1.15*MAX_DRIFT_RELIEF was maskable on any ordinarily-slow host
+    hour).  The median of prior rounds reflects typical same-epoch
+    host speed, so relief engages only when the current hour is
+    genuinely slower than usual."""
     import re
 
     here = Path(__file__).resolve().parent
-    best: float | None = None
+    rates: list[float] = []
     for p in sorted(here.glob("BENCH_*r*.json")):
         m = re.match(r"BENCH_(?:local_)?r(\d+)\.json$", p.name)
         if not m or int(m.group(1)) >= current_round:
@@ -297,8 +306,8 @@ def prior_best_scan_rate(current_round: int, sf: float | None = None) -> float |
             payload.get("parsed") or {}
         ).get("rows_per_sec_per_core")
         if isinstance(rate, (int, float)) and rate > 0:
-            best = max(best or 0.0, float(rate))
-    return best
+            rates.append(float(rate))
+    return statistics.median(rates) if rates else None
 
 
 #: ceiling on tripwire relief from host drift: a genuinely slow host
@@ -374,13 +383,13 @@ def main() -> None:
 
     round_no = next_round()
     # same-run host-drift anchor: current scan rows/s/core (measured in
-    # its own clean JVM before the suite ran) vs the fastest prior
+    # its own clean JVM before the suite ran) vs the MEDIAN prior
     # round's — identical code both sides, so any ratio > 1 is the
-    # host, not the plans
+    # host, not the plans (median anchor per ADVICE r9)
     host_drift = 1.0
     if scan is not None and scan.get("rows_per_sec_per_core"):
         cur_rate = statistics.median(scan["rows_per_sec_per_core"].values())
-        prior_rate = prior_best_scan_rate(round_no, sf=sf)
+        prior_rate = prior_scan_rate_anchor(round_no, sf=sf)
         if prior_rate and cur_rate > 0:
             host_drift = prior_rate / cur_rate
     # tripwire on per-query BEST repeats (burst-robust): a host-load

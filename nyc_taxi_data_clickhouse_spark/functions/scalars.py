@@ -165,11 +165,17 @@ MICRO = 1_000_000
 def micro_sum(col: Column | str) -> Column:
     """Exact integer sum of ``col`` in micro-units: per-row
     ``CAST(value AS DECIMAL(18,6)) * 1e6`` is integral by construction
-    and the long sum is exact, so partial-aggregation order cannot
-    change the result.  Long overflow needs a per-group unit-sum past
-    ~9.2e12 — widen to ``sum(...).cast("decimal(38,0)")`` before that."""
+    and the DECIMAL(38,0) sum is exact, so partial-aggregation order
+    cannot change the result.  The sum runs in DECIMAL(38,0)
+    unconditionally (ADVICE r9): a long unit-sum overflows past ~9.2e12
+    (a group of ~9.2M rows averaging 1e6), and under non-ANSI mode the
+    overflow cast yields NULL so ``sum`` would silently SKIP those rows
+    — a plausible-but-wrong average.  DECIMAL(38,0) moves the bound to
+    1e38 (unreachable) at negligible cost; overflow there nulls the
+    whole sum rather than dropping rows, so it can never fabricate a
+    plausible value."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum((c.cast("decimal(18,6)") * MICRO).cast("long"))
+    return F.sum((c.cast("decimal(18,6)") * MICRO).cast("decimal(38,0)"))
 
 
 def micro_avg(sum_micro: Column | str, cnt: Column | str, scale: int = 4) -> Column:

@@ -87,11 +87,19 @@ def ivf_topk(
     full fit is a multi-pass ML job over the whole corpus — at 100 TB
     that is THE cost of the operator.  A corpus at or under the cap is
     fit whole (bit-identical to the pre-cap behavior, which keeps the
-    small-SF oracle exact); above it, fit input is a ``limit(cap)``
-    prefix — bounded, single-pass, and deterministic for a fixed input
-    layout.  The corpus-size probe itself is a bounded
-    ``limit(cap+1).count()`` (CollectLimit short-circuits the scan),
-    replacing the former eager full ``corpus.count()``.
+    small-SF oracle exact); above it, the fit input is a deterministic
+    HASH-SPREAD sample (VERDICT r9 item 1) — a ``limit(cap)`` head is a
+    partition-order prefix, and on a corpus laid out by crawl segment /
+    date / domain the quantizer would be fit on one corner of the
+    distribution, skewing cells and recall at scale.  The spread sample
+    costs one extra column-pruned pass over the id column (negligible
+    next to the multi-pass KMeans fit it feeds): keep a uniform ~2*cap
+    subset via ``pmod(xxhash64(id, seed), K) == 0`` with K = n/(2*cap),
+    then of those survivors take the cap smallest hashes — a
+    TakeOrdered over only ~2*cap rows, so the sample is layout-
+    independent, exactly bounded, and deterministic for a fixed seed.
+    The emptiness probe remains a bounded ``limit(cap+1).count()``
+    (CollectLimit short-circuits the scan).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -117,12 +125,23 @@ def ivf_topk(
         n_cells = n_cells or max(2, int(probe_n ** 0.5 / 2))
         fit_input = feat
     else:
-        # large corpus: bounded deterministic sample; the sqrt rule
-        # needs a corpus size we refuse to compute eagerly, so default
-        # the cell count from the cap (callers at real scale should
-        # pass n_cells sized to their corpus, e.g. ~sqrt(N))
+        # large corpus: hash-spread deterministic sample (never a head
+        # prefix — see docstring).  One column-pruned count sizes the
+        # modulus; the filter keeps ~2*cap uniform survivors; the final
+        # TakeOrdered-by-hash trims to exactly cap, over only ~2*cap
+        # rows.  The sqrt cell-count rule defaults from the cap
+        # (callers at real scale should pass n_cells ~ sqrt(N)).
         n_cells = n_cells or max(2, int(fit_sample_cap ** 0.5 / 2))
-        fit_input = feat.select("__features").limit(fit_sample_cap)
+        n = corpus.select(id_col).count()
+        k_mod = max(1, n // (2 * fit_sample_cap))
+        h = F.xxhash64(F.col("neighbor_id"), F.lit(seed))
+        fit_input = (
+            feat.select("neighbor_id", "__features", h.alias("__h"))
+            .filter(F.pmod(F.col("__h"), F.lit(k_mod)) == 0)
+            .orderBy("__h", "neighbor_id")
+            .limit(fit_sample_cap)
+            .select("__features")
+        )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
     model = km.fit(fit_input)
     assigned = model.transform(feat).select("neighbor_id", "__cvec", "__cell")

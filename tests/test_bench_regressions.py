@@ -111,8 +111,35 @@ def test_drift_normalization_relaxes_reference():
     assert names == ["q1", "q2"]
 
 
-def test_prior_best_scan_rate_reads_history():
-    rate = bench.prior_best_scan_rate(current_round=99, sf=0.1)
+def test_prior_scan_rate_anchor_reads_history():
+    rate = bench.prior_scan_rate_anchor(current_round=99, sf=0.1)
     assert rate is None or rate > 0
     # excluding all rounds yields no anchor
-    assert bench.prior_best_scan_rate(current_round=0) is None
+    assert bench.prior_scan_rate_anchor(current_round=0) is None
+    # the anchor is the MEDIAN of prior rounds, never the all-time best
+    # (ADVICE r9: an extreme-value anchor systematically relaxes the
+    # tripwire) — with >=3 recorded rounds the median must sit strictly
+    # below the max unless all rates are equal
+    import json
+    import re
+    from pathlib import Path
+
+    rates = []
+    here = Path(bench.__file__).resolve().parent
+    for p in sorted(here.glob("BENCH_*r*.json")):
+        m = re.match(r"BENCH_(?:local_)?r(\d+)\.json$", p.name)
+        if not m or int(m.group(1)) >= 99:
+            continue
+        try:
+            payload = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if payload.get("sf") != 0.1:
+            continue
+        r = payload.get("rows_per_sec_per_core") or (
+            payload.get("parsed") or {}
+        ).get("rows_per_sec_per_core")
+        if isinstance(r, (int, float)) and r > 0:
+            rates.append(float(r))
+    if len(rates) >= 3 and max(rates) > min(rates):
+        assert rate < max(rates)

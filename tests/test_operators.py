@@ -872,23 +872,39 @@ def test_ivf_fit_input_is_bounded(spark, emb, monkeypatch):
     """VERDICT r8 item 4: the coarse quantizer must fit on a bounded
     sample, never the full corpus.  With a cap below the corpus size,
     KMeans.fit must receive at most cap rows — spied at the .fit call —
-    and the operator must still return a well-formed per-query top-k."""
+    and the operator must still return a well-formed per-query top-k.
+
+    VERDICT r9 item 1: the sampled fit input must be HASH-SPREAD, not a
+    partition-order head prefix — asserted on the fit input's analyzed
+    plan (xxhash64 spread key + hash-order sort), fed a worst-case
+    layout (single partition sorted by id) where a head prefix would
+    sample exactly ids [0, cap)."""
     from pyspark.ml.clustering import KMeans
 
     n = emb.count()
     cap = max(2, n // 3)
-    fit_sizes = []
+    fit_sizes, fit_plans = [], []
     orig_fit = KMeans.fit
 
     def spy_fit(self, dataset, *a, **kw):
         fit_sizes.append(dataset.count())
+        fit_plans.append(dataset._jdf.queryExecution().analyzed().toString())
         return orig_fit(self, dataset, *a, **kw)
 
     monkeypatch.setattr(KMeans, "fit", spy_fit)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_topk(emb, queries, k=3, fit_sample_cap=cap)
+    # layout adversary: one partition, sorted by id — a head prefix
+    # would sample exactly ids [0, cap)
+    out = similarity.ivf_topk(
+        emb.coalesce(1).sortWithinPartitions("vec_id"), queries, k=3,
+        fit_sample_cap=cap,
+    )
     rows = out.collect()
     assert fit_sizes == [cap], f"fit saw {fit_sizes}, cap was {cap} (n={n})"
+    assert "xxhash64" in fit_plans[0] and "Sort" in fit_plans[0], (
+        "sampled fit input must be a hash-spread sort, not a head prefix:\n"
+        + fit_plans[0]
+    )
     assert rows and all(r["rank"] <= 3 for r in rows)
     # every query that has candidates in the probed cells reports them
     assert {r["query_id"] for r in rows} <= {0, 1, 2, 3, 4}

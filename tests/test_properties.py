@@ -535,6 +535,27 @@ def test_micro_avg_matches_exact_model_and_duckdb(spark, values):
     assert duck == got
 
 
+def test_micro_sum_no_long_overflow(spark):
+    """ADVICE r9: a per-group unit-sum past ~9.2e18 must stay EXACT —
+    the former long accumulator silently dropped (nulled) overflowing
+    rows, so micro_avg returned a plausible wrong value.  Ten rows of
+    9.9e11 give a unit sum of 9.9e18 > LONG_MAX; the DECIMAL(38,0)
+    accumulator must return the exact average."""
+    from nyc_taxi_data_clickhouse_spark.functions.scalars import (
+        micro_avg,
+        micro_sum,
+    )
+
+    df = spark.createDataFrame([(9.9e11,)] * 10, "value double")
+    row = (
+        df.agg(micro_sum("value").alias("s6"), F.count("value").alias("cv"))
+        .select(F.col("s6"), micro_avg("s6", "cv", 4).alias("avg_value"))
+        .collect()[0]
+    )
+    assert int(row["s6"]) == 9_900_000_000_000_000_000
+    assert row["avg_value"] == 9.9e11
+
+
 # ---------------------------------------------------------------------------
 # Y4M codec (VERDICT r8 item 8): raw planar roundtrip, all colorspaces
 # ---------------------------------------------------------------------------
