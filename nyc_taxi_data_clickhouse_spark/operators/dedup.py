@@ -186,7 +186,77 @@ def _verified_jaccard(
 #: ~a (hash, id) shuffle row).  Rounded down to 256 so the derived
 #: count lands at ~458 partitions for that probe — the same regime as
 #: the measured-good 512 (spill 70.4 -> 38.6 GB, CPU -26 %).
+#:
+#: This constant is the CONSERVATIVE GATE only (VERDICT r9 item 4): it
+#: decides whether sizing engages at all; the actual width then comes
+#: from the live per-corpus calibration below, so a corpus with a
+#: different doc-length / compression profile cannot re-admit spill
+#: through a miscalibrated fixed factor.
 JACCARD_SHUFFLE_EXPANSION = 256.0
+
+#: bytes of self-join sort state per shingle row, back-derived from the
+#: r8 x256 probe: 70.4 GB sorted / (1.28 M docs x 52.1 shingles/doc)
+#: ~ 1.06 kB per (8 B hash, 8 B id) row — UnsafeRow, sort-buffer and
+#: both join legs included.  Rounded to 1024: the derived width for
+#: that probe is 508, i.e. the measured-good 512 (zero spill, -26 %
+#: CPU).  Unlike the bytes-ratio above this unit is LAYOUT-FREE — it
+#: does not depend on the corpus's parquet compression or doc length,
+#: which the live probe measures instead.
+JACCARD_SORT_BYTES_PER_SHINGLE = 1024.0
+
+#: hash-spread sample bound for the live calibration probe
+_CALIBRATION_SAMPLE_DOCS = 4096
+
+
+def _calibrated_jaccard_partitions(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> int | None:
+    """Data-calibrated shuffle width for the shingle exchanges
+    (VERDICT r9 item 4).  The former fixed bytes-expansion factor was
+    calibrated on THIS corpus's text stats; corpora with much longer
+    docs or different shingle widths change the explosion ratio
+    several-fold.  Here the expansion is derived live:
+
+        shingle rows ~ N_docs x avg shingles/doc        (measured)
+        width = ceil(rows x JACCARD_SORT_BYTES_PER_SHINGLE / 128 MB)
+
+    avg shingles/doc comes from a deterministic hash-spread sample of
+    ~2x4096 docs (``pmod(xxhash64(id), K) == 0`` — layout-independent,
+    same pattern as the IVF fit sample), so the probe is one
+    column-pruned count plus one sampled tokenize, independent of
+    corpus size.  Cost gating: the probe runs ONLY when the static
+    conservative estimate already engages (derived n > session
+    default), so every small-SF plan stays byte-identical AND
+    job-count-identical to the un-sized one."""
+    from nyc_taxi_data_clickhouse_spark.partitioning import (
+        sized_partitions_for_rows,
+        sized_shuffle_partitions,
+    )
+
+    static_n = sized_shuffle_partitions(
+        docs.select(id_col, text_col), JACCARD_SHUFFLE_EXPANSION
+    )
+    if static_n is None:
+        return None
+    n_docs = docs.select(id_col).count()
+    if n_docs == 0:
+        return None
+    k = max(1, n_docs // (2 * _CALIBRATION_SAMPLE_DOCS))
+    sample = docs.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(77)), F.lit(k)) == 0
+    )
+    avg_sh = (
+        _shingle_sizes(sample, text_col, id_col, n)
+        .agg(F.avg("__n"))
+        .collect()[0][0]
+    )
+    if avg_sh is None or avg_sh <= 0:
+        return static_n
+    return sized_partitions_for_rows(
+        int(n_docs * float(avg_sh)),
+        JACCARD_SORT_BYTES_PER_SHINGLE,
+        docs.sparkSession,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -212,12 +282,13 @@ def ngram_jaccard_pairs(
     dedup on normalized text catches far more cheaply.  Without a cap
     the fused single-pass plan is used.
 
-    ``shuffle_partitions`` (VERDICT r8 item 1): partition count for the
-    shingle-keyed exchange feeding the self-join.  Default None derives
-    it from the input's plan-size bytes via
-    :func:`partitioning.sized_shuffle_partitions` (engaging only when
-    the data outgrows the session default, so small-SF plans are
-    byte-identical to the un-sized ones).  Because the hot-shingle
+    ``shuffle_partitions`` (VERDICT r8 item 1, calibration r9 item 4):
+    partition count for the shingle-keyed exchange feeding the
+    self-join.  Default None derives it live from the corpus via
+    :func:`_calibrated_jaccard_partitions` — measured shingle rows x
+    per-row sort footprint — engaging only when the data outgrows the
+    session default, so small-SF plans are byte-identical (and
+    job-count-identical) to the un-sized ones.  Because the hot-shingle
     groupBy, the anti-join and the self-join all key on ``__sh``, ONE
     repartition up front is reused by every downstream exchange — the
     sized shuffle replaces the default-sized one instead of adding a
@@ -225,13 +296,9 @@ def ngram_jaccard_pairs(
     2.2 GB/task (70.4 GB spill) where ~512 partitions kept sorts
     in-memory at -26 % CPU.
     """
-    from nyc_taxi_data_clickhouse_spark.partitioning import (
-        sized_shuffle_partitions,
-    )
-
     if shuffle_partitions is None:
-        shuffle_partitions = sized_shuffle_partitions(
-            docs.select(id_col, text_col), JACCARD_SHUFFLE_EXPANSION
+        shuffle_partitions = _calibrated_jaccard_partitions(
+            docs, text_col, id_col, n
         )
     sh = _shingle_table(docs, text_col, id_col, n)
     if shuffle_partitions:
