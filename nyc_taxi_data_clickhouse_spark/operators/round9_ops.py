@@ -1,9 +1,11 @@
 """Round-9 surface extensions — crawl/curation primitives a 100 TB
 training-data pipeline runs before anything else touches the text.
 
-- ``pii_scrub``: regex PII detection + redaction (emails, IPv4s,
-  SSN-shaped ids, phone numbers) entirely in JVM ``regexp_replace`` /
-  ``regexp_count`` — no UDF, whole-stage-codegen throughout.  The
+- ``pii_scrub``: regex PII detection + redaction (emails, full-form
+  IPv6, IPv4s, IBAN-shaped account ids, 4-4-4-4 card numbers with a
+  built-in-arithmetic Luhn grade, SSN-shaped ids, phone numbers)
+  entirely in JVM ``regexp_replace`` / ``regexp_count`` /
+  ``aggregate`` — no UDF, whole-stage-codegen throughout.  The
   patterns are deliberately restricted to the regex subset whose
   semantics are IDENTICAL between Java's engine (Spark) and RE2
   (DuckDB): character classes, bounded quantifiers, ``\\b`` word
@@ -38,15 +40,51 @@ from nyc_taxi_data_clickhouse_spark.suite import load_table, register
 
 # PII patterns — Java/RE2-identical subset only (see module docstring).
 # Scrub ORDER matters and is part of the contract: emails first (their
-# domains would otherwise be visible to no other rule), then IPv4s,
-# then SSN-shaped ids, then phones (3-3-4 with '-' only, disjoint from
-# both the 3-2-4 SSN shape and dotted IPv4s).
+# domains would otherwise be visible to no other rule); full-form IPv6
+# before IPv4 (colon groups vs dotted quads — disjoint, but the order
+# documents intent); IBANs before card numbers (an IBAN's contiguous
+# digit tail has no separators so the card rule can't see it, and vice
+# versa); cards (4-4-4-4 with '-' or ' ') before SSN-shaped ids (3-2-4)
+# and phones (3-3-4) — all three group shapes are mutually disjoint.
+# IPv6 is the FULL 8-group form only: compressed '::' forms are not
+# redacted (documented scope bound — handling them needs alternation
+# counts beyond what a closed-form oracle can pin byte-exactly).
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b", "<IPV6>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CC>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
 )
+
+
+def luhn_valid(cc: Column | str) -> Column:
+    """Luhn checksum of a card-shaped string, entirely in built-in
+    arithmetic (no UDF): strip separators, then from the RIGHTMOST
+    digit double every second one (subtracting 9 past 9) and test the
+    sum mod 10.  NULL/short inputs yield false.  Used to grade a
+    detected card match as checksum-valid — redaction itself stays
+    shape-based (a typo'd card is still PII)."""
+    c = F.col(cc) if isinstance(cc, str) else cc
+    digits = F.regexp_replace(c, r"[^0-9]", "")
+    n = F.length(digits)
+    chars = F.split(digits, "")
+    # i runs 1..n from the RIGHT: element n - i + 1, doubled on even i
+    term = lambda i: (  # noqa: E731
+        F.element_at(chars, (n - i + 1).cast("int")).cast("int")
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), n.cast("int")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(term(i) * 2 > 9, term(i) * 2 - 9).otherwise(term(i) * 2),
+        ).otherwise(term(i)),
+    )
+    return F.coalesce((n >= 12) & (total % 10 == 0), F.lit(False))
 
 
 def scrub_pii(col: Column | str) -> tuple[Column, dict[str, Column]]:
@@ -130,18 +168,34 @@ def _inject_pii(docs: DataFrame) -> DataFrame:
         F.lit(" ssn 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0"),
         F.lit(" tel 555-"), F.lpad((i % 1000).cast("string"), 3, "0"),
         F.lit("-"), F.lpad(((i * 3) % 10000).cast("string"), 4, "0"),
+        # round-10 arms: full-form IPv6, 4-4-4-4 card (Luhn validity
+        # varies with doc_id), IBAN-shaped account id
+        F.lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111-0000-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit("-9999 iban DE"),
+        F.lpad((i % 100).cast("string"), 2, "0"),
+        F.lpad(i.cast("string"), 16, "0"),
     )
     return docs.select("doc_id", injected.alias("__t"))
 
 
 def _scrub_report(base: DataFrame) -> DataFrame:
     scrubbed, counts = scrub_pii("__t")
+    first_cc = F.regexp_extract(
+        F.col("__t"), r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", 0
+    )
     return base.select(
         "doc_id",
         counts["email"].alias("n_email"),
+        counts["ipv6"].alias("n_ipv6"),
         counts["ip"].alias("n_ip"),
+        counts["iban"].alias("n_iban"),
+        counts["cc"].alias("n_cc"),
         counts["ssn"].alias("n_ssn"),
         counts["phone"].alias("n_phone"),
+        luhn_valid(first_cc).alias("cc_luhn_valid"),
         scrubbed.alias("scrubbed"),
     )
 
@@ -155,25 +209,55 @@ PII_ORACLE = r"""
                   || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                   || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                   || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
-               AS t
+                  || ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' card 4111-0000-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '-9999 iban DE'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+               AS t,
+             '41110000' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '9999' AS ccd
       FROM documents)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              AS n_email,
            CAST(len(regexp_extract_all(t,
+                '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b')) AS BIGINT)
+             AS n_ipv6,
+           CAST(len(regexp_extract_all(t,
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t,
+                '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b')) AS BIGINT) AS n_iban,
+           CAST(len(regexp_extract_all(t,
+                '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_cc,
            CAST(len(regexp_extract_all(t,
                 '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
            CAST(len(regexp_extract_all(t,
                 '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN i % 2 = 0 THEN
+               CASE WHEN 2 * CAST(substr(ccd, 17 - i, 1) AS INT) > 9
+                    THEN 2 * CAST(substr(ccd, 17 - i, 1) AS INT) - 9
+                    ELSE 2 * CAST(substr(ccd, 17 - i, 1) AS INT) END
+             ELSE CAST(substr(ccd, 17 - i, 1) AS INT) END)) % 10 = 0
+             AS cc_luhn_valid,
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(t,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b',
+                       '<IPV6>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '<IBAN>', 'g'),
+                 '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g'),
                '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
     FROM inj

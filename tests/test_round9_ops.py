@@ -27,7 +27,45 @@ def test_scrub_pii_all_kinds(spark):
         "tel 555-867-5309 done",
     )
     assert s == "mail <EMAIL> ip <IP> ssn <ID> tel <PHONE> done"
-    assert n == {"email": 1, "ip": 1, "ssn": 1, "phone": 1}
+    assert n == {
+        "email": 1, "ipv6": 0, "ip": 1, "iban": 0, "cc": 0,
+        "ssn": 1, "phone": 1,
+    }
+
+
+def test_scrub_pii_round10_kinds(spark):
+    s, n = _scrub_one(
+        spark,
+        "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 "
+        "card 4111-1111-1111-1111 spaced 4111 1111 1111 1111 "
+        "iban GB82WEST12345698765432 done",
+    )
+    assert s == "v6 <IPV6> card <CC> spaced <CC> iban <IBAN> done"
+    assert n["ipv6"] == 1 and n["cc"] == 2 and n["iban"] == 1
+    # negatives: compressed-form v6 is out of scope (documented);
+    # 2-letter words, short digit runs, lowercase ibans untouched
+    s2, n2 = _scrub_one(
+        spark, "short ::1 word GB12 low de8912345678901234567 4111-1111"
+    )
+    assert n2["ipv6"] == 0 and n2["iban"] == 0 and n2["cc"] == 0
+    assert s2 == "short ::1 word GB12 low de8912345678901234567 4111-1111"
+
+
+def test_luhn_valid_builtin_arithmetic(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.round9_ops import (
+        luhn_valid,
+    )
+
+    cases = [
+        ("4111-1111-1111-1111", True),   # classic Visa test number
+        ("4111 1111 1111 1112", False),  # checksum off by one
+        ("5500-0000-0000-0004", True),
+        ("", False),                     # too short -> false, not null
+        (None, False),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "cc string")
+    got = [r["v"] for r in df.select(luhn_valid("cc").alias("v")).collect()]
+    assert got == [want for _, want in cases]
 
 
 def test_scrub_pii_boundaries_and_negatives(spark):
