@@ -69,21 +69,29 @@ def luhn_valid(cc: Column | str) -> Column:
     shape-based (a typo'd card is still PII)."""
     c = F.col(cc) if isinstance(cc, str) else cc
     digits = F.regexp_replace(c, r"[^0-9]", "")
+    # ONE fold over the reversed char array — never index-by-position:
+    # an element_at(split(...), i) per index re-evaluates the whole
+    # regex-extract subtree per element (the CollapseProject trap the
+    # shingle docstring documents; measured 45x on the scan bench).
+    # aggregate() evaluates its input array exactly once; position
+    # parity rides in the accumulator.
+    rev = F.reverse(F.filter(F.split(digits, ""), lambda x: x != F.lit("")))
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("s"), F.lit(1).cast("int").alias("i")
+    )
+
+    def step(acc: Column, ch: Column) -> Column:
+        d = ch.cast("int")
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return F.struct(
+            (
+                acc["s"] + F.when(acc["i"] % 2 == 0, doubled).otherwise(d)
+            ).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    total = F.aggregate(rev, acc0, step).getField("s")
     n = F.length(digits)
-    chars = F.split(digits, "")
-    # i runs 1..n from the RIGHT: element n - i + 1, doubled on even i
-    term = lambda i: (  # noqa: E731
-        F.element_at(chars, (n - i + 1).cast("int")).cast("int")
-    )
-    total = F.aggregate(
-        F.sequence(F.lit(1), n.cast("int")),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            i % 2 == 0,
-            F.when(term(i) * 2 > 9, term(i) * 2 - 9).otherwise(term(i) * 2),
-        ).otherwise(term(i)),
-    )
     return F.coalesce((n >= 12) & (total % 10 == 0), F.lit(False))
 
 

@@ -175,6 +175,78 @@ SCAN_SHAPES: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
+def _pii_scrub_shape(docs: DataFrame) -> DataFrame:
+    """The full PII scrub report (7 detection counts + Luhn grade + the
+    redaction chain) over a replicated documents table — the map-only
+    shape a 100 TB curation pipeline runs before anything else touches
+    the text (VERDICT r9 item 6)."""
+    from nyc_taxi_data_clickhouse_spark.operators.round9_ops import (
+        _inject_pii,
+        _scrub_report,
+    )
+
+    return _scrub_report(_inject_pii(docs))
+
+
+#: curation shapes measured over the replicated DOCUMENTS table.  Their
+#: per-row cost is regex over ~0.4 kB text, ~100x a lineitem row's, so
+#: they get their own table, row count, repeat budget and throughput
+#: key — mixing their rows/s/core into the lineitem median would skew
+#: the host-drift anchor bench.py derives from it.
+CURATION_SHAPES: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "pii_scrub": _pii_scrub_shape,
+}
+
+
+def docs_scan_factor() -> int:
+    """Replication factor for the curation scan table: ×128 puts the
+    sf0.1 documents table at 640 k rows (~250 MB of text), where the
+    scrub wall is ~10 s — two orders of magnitude above the job floor,
+    so the reported rows/s/core is throughput, not scheduling."""
+    return int(os.environ.get("BENCH_SCAN_DOCS_FACTOR", "128"))
+
+
+def materialize_big_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    scratch_root: str,
+    files: int = 32,
+) -> tuple[str, int]:
+    """Replicate ``sf_dir``'s documents table ``factor``× into a cached
+    parquet table; return ``(path, row_count)``.  Same design as
+    :func:`materialize_big_lineitem`: broadcast fan-out, no shuffle of
+    the big side, written once per (sf, factor) and reused.  doc_id is
+    remapped unique (id*factor + replica) so the injected PII varies
+    per row, and a per-replica text suffix de-dictionaries the text
+    column — naive replication would parquet-dictionary-encode the
+    5 000 distinct texts away and the scan would be unrealistically
+    cheap vs a real corpus's ~unique documents."""
+    sf_name = Path(sf_dir).name or "sf"
+    out = Path(scratch_root) / f"{sf_name}_docs_x{factor}_v1" / "documents"
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        reps = F.broadcast(
+            spark.range(factor).select(F.col("id").alias("__rep"))
+        )
+        big = (
+            docs.repartition(files)
+            .crossJoin(reps)
+            .select(
+                (F.col("doc_id") * factor + F.col("__rep")).alias("doc_id"),
+                F.concat(
+                    "text", F.lit(" #"), F.col("__rep").cast("string")
+                ).alias("text"),
+            )
+        )
+        big.write.mode("overwrite").parquet(str(out))
+    n = spark.read.parquet(str(out)).count()
+    return str(out), n
+
+
 def materialize_big_lineitem(
     spark: SparkSession,
     sf_dir: str,
@@ -337,7 +409,7 @@ def run_scan_suite(spark: SparkSession, sf_dir: str, cpus: int, repeats: int) ->
         else:
             iqr[name] = spreads[name]
         throughput[name] = round(rows / min(times) / cpus, 1)
-    return {
+    payload = {
         "rows": rows,
         "factor": scan_factor(),
         "repeats": scan_repeats,
@@ -348,6 +420,45 @@ def run_scan_suite(spark: SparkSession, sf_dir: str, cpus: int, repeats: int) ->
         "query_iqr_sec": iqr,
         "rows_per_sec_per_core": throughput,
     }
+
+    # curation section (VERDICT r9 item 6): measured rows/s/core for
+    # the map-only scrub shape over the replicated documents table.
+    # Separate repeat budget (the shape's wall is ~10 s, far above the
+    # floor, so 3 repeats suffice) and a separate throughput key so the
+    # lineitem-anchored host-drift median stays comparable across
+    # rounds.
+    if os.environ.get("BENCH_SCAN_CURATION", "1") != "0":
+        dpath, drows = materialize_big_documents(
+            spark, sf_dir, docs_scan_factor(), scratch
+        )
+        for f in sorted(Path(dpath).glob("*.parquet")):
+            with open(f, "rb", buffering=1 << 20) as fh:
+                while fh.read(1 << 22):
+                    pass
+        docs = spark.read.parquet(dpath)
+        cur_repeats = int(os.environ.get("BENCH_SCAN_CURATION_REPEATS", "3"))
+        cur_tp: dict[str, float] = {}
+        for name, shape in CURATION_SHAPES.items():
+            times = []
+            for i in range(1 + cur_repeats):  # pass 0 = warmup
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                shape(docs).write.format("noop").mode("overwrite").save()
+                if i >= 1:
+                    times.append(time.perf_counter() - t0)
+            payload["query_best_sec"][name] = round(min(times), 4)
+            payload["query_median_sec"][name] = round(
+                statistics.median(times), 4
+            )
+            payload["query_spread_sec"][name] = round(
+                max(times) - min(times), 4
+            )
+            cur_tp[name] = round(drows / min(times) / cpus, 1)
+        payload["docs_rows"] = drows
+        payload["docs_factor"] = docs_scan_factor()
+        payload["curation_rows_per_sec_per_core"] = cur_tp
+    return payload
 
 
 def main() -> None:
