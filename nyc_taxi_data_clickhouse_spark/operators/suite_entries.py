@@ -670,6 +670,49 @@ def multimodal_y4m_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mpeg1_iframe",
+    """
+    SELECT doc_id AS media_id,
+           ts AS frame_ts_ms,
+           ts // 40 AS frame_index,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 * 256 * ((doc_id + 11 * (ts // 40)) % 256) AS BIGINT)
+             AS pixel_sum
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, (2 + doc_id % 4) * 40 - 1, 40)) AS ts
+    ) t
+    """,
+    doc="§7 multimodal: REAL compressed-video I-frame decode over "
+    "intra-only MPEG-1 elementary streams (VERDICT r9 item 5 — the "
+    "first entropy-coded video codec next to MJPEG-AVI; P/B motion "
+    "compensation and MP4/H.264 remain the declared boundary).  "
+    "Per-doc streams are 16x16 at 25 fps with 2 + id%4 I-pictures, "
+    "one macroblock each, DC-only blocks with uniform luma "
+    "(id + 11*f) % 256 and neutral chroma, so the full decode chain — "
+    "start-code walk, slice/macroblock/DC-size VLCs, dequant with "
+    "oddification, IDCT, 4:2:0 upsample, JFIF conversion — lands "
+    "exactly on the closed form pixel_sum = 3*256*((id + 11*(ts//40)) "
+    "% 256) with zero tolerance.  Unsampled pictures are never "
+    "entropy-decoded (byte-aligned picture-start split only), the "
+    "property that keeps sparse sampling map-only-cheap at 100 TB.",
+)
+def multimodal_mpeg1_iframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "mpeg1"), "payload", "video/mpeg")
+    return decode_video_frames(media, every_ms=40)
+
+
+@register(
     "multimodal_audio_decode",
     """
     SELECT doc_id AS media_id,

@@ -639,3 +639,135 @@ def test_y4m_rejects_malformed():
         dec(good.replace(b"FRAME", b"FRAMX"))
     with _pytest.raises(NotImplementedError):
         dec(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + bytes(32))
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 intra codec (VERDICT r9 item 5): roundtrip vs an independent
+# reconstruction model, multi-macroblock DC prediction, scope bounds
+# ---------------------------------------------------------------------------
+
+
+def _mpeg1_expected_pixels(mbs, w, h, qscale=8):
+    """Independent numpy model of the MPEG-1 intra reconstruction
+    (spec 2.4.4.1: DC*8; AC 2*level*qscale*W/16 truncated toward zero,
+    oddified, clamped) + float IDCT + 4:2:0 upsample + JFIF RGB —
+    written against the spec text, not the codec code."""
+    import math
+
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators import multimodal as mm
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    Q = [
+        8, 16, 19, 22, 26, 27, 29, 34, 16, 16, 22, 24, 27, 29, 34, 37,
+        19, 22, 26, 27, 29, 34, 34, 38, 22, 22, 26, 27, 29, 34, 37, 40,
+        22, 26, 27, 29, 32, 35, 40, 48, 26, 27, 29, 32, 35, 40, 48, 58,
+        26, 27, 29, 34, 38, 46, 56, 69, 27, 29, 35, 38, 46, 56, 69, 83,
+    ]
+    C = [1 / math.sqrt(2)] + [1.0] * 7
+    M = np.array(
+        [[C[u] * math.cos((2 * x + 1) * u * math.pi / 16) / 2
+          for u in range(8)] for x in range(8)]
+    )
+
+    def recon_block(zz):
+        out = np.zeros(64, dtype=np.int64)
+        out[0] = zz[0] * 8
+        for i in range(1, 64):
+            if not zz[i]:
+                continue
+            pos = ZZ[i]
+            mag = (2 * abs(zz[i]) * qscale * Q[pos]) // 16
+            v = mag if zz[i] > 0 else -mag
+            if v and v % 2 == 0:
+                v -= 1 if v > 0 else -1
+            out[pos] = max(-2048, min(2047, v))
+        block = M @ out.reshape(8, 8).astype(np.float64) @ M.T
+        return np.clip(np.rint(block), 0, 255).astype(np.int64)
+
+    mb_cols = w // 16
+    yp = np.zeros((h, w), dtype=np.int64)
+    cbp = np.zeros((h // 2, w // 2), dtype=np.int64)
+    crp = np.zeros((h // 2, w // 2), dtype=np.int64)
+    for a, mb in enumerate(mbs):
+        my, mx = divmod(a, mb_cols)
+        for bi in range(4):
+            by, bx = divmod(bi, 2)
+            yp[
+                my * 16 + by * 8 : my * 16 + by * 8 + 8,
+                mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8,
+            ] = recon_block(mb[bi])
+        cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = recon_block(mb[4])
+        crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = recon_block(mb[5])
+    yv = yp.astype(np.float64)
+    cb = cbp.repeat(2, 0).repeat(2, 1).astype(np.float64)
+    cr = crp.repeat(2, 0).repeat(2, 1).astype(np.float64)
+    r = np.rint(yv + 1.402 * (cr - 128))
+    g = np.rint(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = np.rint(yv + 1.772 * (cb - 128))
+    return (
+        np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.int64)
+        .reshape(-1).tolist()
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.data(), n_mb=st.sampled_from([1, 2, 4]), n_frames=st.integers(1, 3))
+def test_mpeg1_intra_roundtrip_vs_independent_model(data, n_mb, n_frames):
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    enc, dec, pix = _build_mpeg1_codec()
+    w, h = 16 * n_mb, 16
+    frames = []
+    for _ in range(n_frames):
+        mbs = []
+        for _ in range(n_mb):
+            mb = []
+            for _b in range(6):
+                zz = [data.draw(st.integers(0, 255))] + [0] * 63
+                for _k in range(data.draw(st.integers(0, 4))):
+                    zz[data.draw(st.integers(1, 63))] = data.draw(
+                        st.integers(-255, 255).filter(lambda x: x != 0)
+                    )
+                mb.append(zz)
+            mbs.append(mb)
+        frames.append(mbs)
+    payload = enc(w, h, 3, frames)
+    v = dec(payload)
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, n_frames)
+    assert v["usec_per_frame"] == 40000
+    for f in range(n_frames):
+        got = pix(v, f)
+        assert got[:3] == (w, h, 3)
+        assert got[3] == _mpeg1_expected_pixels(frames[f], w, h), f
+
+
+def test_mpeg1_scope_bounds():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+    import pytest
+
+    enc, dec, pix = _build_mpeg1_codec()
+    mb = [[100] + [0] * 63] * 6
+    payload = enc(16, 16, 3, [[mb]])
+    # flip picture_coding_type I->P: the 3 bits after the 10-bit
+    # temporal reference in the picture header; picture start is byte-
+    # aligned so the type sits in the second byte after 00 00 01 00
+    p = bytearray(payload)
+    start = payload.find(b"\x00\x00\x01\x00")
+    # bits: [10 temporal][3 type] -> type occupies bits 2..4 of byte+5
+    p[start + 5] = (p[start + 5] & 0b11000111) | (0b010 << 3)
+    v = dec(bytes(p))
+    with pytest.raises(NotImplementedError, match="I-pictures"):
+        pix(v, 0)
+    with pytest.raises(ValueError, match="sequence header"):
+        dec(b"RIFFnotmpeg")
