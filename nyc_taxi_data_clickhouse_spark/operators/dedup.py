@@ -823,6 +823,16 @@ def connected_components_star(
     instead of O(log remnant) rounds.  At 100 TB the rounds do the
     heavy contraction and the local finish absorbs the latency-bound
     tail; 0 disables (pure star — used by the round-contract tests).
+
+    Checkpoint lifecycle note: each round eagerly localCheckpoints the
+    contracted edge list (the standard iterative-Spark pattern — it
+    truncates the exponentially deepening lineage).  Superseded rounds'
+    blocks are freed by the ContextCleaner as the Python references
+    drop; on a cluster the blocks are distributed and this pacing is a
+    non-issue, but a SINGLE-JVM stress harness running several
+    ~100M-edge invocations back-to-back can outrun the cleaner and
+    exhaust the heap — run one JVM per measurement arm there (the r10
+    star_sizing_probe does; see BENCH_NOTES round 10).
     """
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     nodes = (

@@ -65,6 +65,15 @@ def main() -> None:
         for x in os.environ.get("STAR_EDGES", "25000000,100000000").split(",")
     ]
     repeats = int(os.environ.get("STAR_REPEATS", "2"))
+    # STAR_VARIANTS: run a subset (e.g. just "sized") — one fresh JVM
+    # per variant avoids localCheckpoint blocks from prior runs
+    # accumulating toward heap exhaustion on big arms (the r10 100M
+    # probe OOM'd on its 4th consecutive in-JVM run), and makes the
+    # A/B symmetric under JVM warmup instead of order-confounded
+    variants = tuple(
+        os.environ.get("STAR_VARIANTS", "sized,control").split(",")
+    )
+    out_suffix = os.environ.get("STAR_OUT_SUFFIX", "")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="star-sizing-probe",
@@ -101,7 +110,7 @@ def main() -> None:
         metrics = {}
         widths = {}
         for i in range(repeats):
-            for variant in ("sized", "control"):
+            for variant in variants:
                 derived_log.clear()
                 partitioning.sized_partitions_for_rows = (
                     recording_sizer
@@ -137,7 +146,7 @@ def main() -> None:
                     f"spill {delta[2]:.2f}GB widths={derived_log}",
                     file=sys.stderr,
                 )
-        for variant in ("sized", "control"):
+        for variant in variants:
             d = metrics[variant]
             arm[variant] = {
                 "wall_best_sec": round(min(walls[variant]), 2),
@@ -146,7 +155,8 @@ def main() -> None:
                 "shuffle_gb": round(d[1], 3),
                 "spill_gb": round(d[2], 3),
             }
-        arm["sized"]["round_widths"] = widths.get("per_round", [])
+        if "sized" in arm:
+            arm["sized"]["round_widths"] = widths.get("per_round", [])
         results[str(n_edges)] = arm
 
     payload = {
@@ -156,14 +166,14 @@ def main() -> None:
         "arms": results,
     }
     out = Path(__file__).resolve().parent / (
-        f"SCALING_CPU_r{round_no():02d}_starcc.json"
+        f"SCALING_CPU_r{round_no():02d}_starcc{out_suffix}.json"
     )
     out.write_text(json.dumps(payload, indent=2) + "\n")
     print(f"payload -> {out.name}", file=sys.stderr)
     print("| edges | variant | wall s | cpu core-s | shuffle GB | spill GB | widths |")
     print("|---|---|---|---|---|---|---|")
     for e, arm in results.items():
-        for variant in ("sized", "control"):
+        for variant in variants:
             r = arm[variant]
             w = r.get("round_widths", "")
             print(
