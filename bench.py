@@ -91,6 +91,11 @@ DEFAULT_QUERIES = [
     "pii_scrub_documents",
     "url_canonical_dedup",
     "multimodal_y4m_video",
+    # round-10 selection/mixing primitives + the compressed-video decode
+    "domain_mix_temperature",
+    "token_budget_selection",
+    "quality_percentile_by_domain",
+    "multimodal_mpeg1_iframe",
 ]
 
 

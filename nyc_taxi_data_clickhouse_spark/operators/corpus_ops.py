@@ -165,6 +165,68 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_mix_temperature",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+    r AS (
+      SELECT lang, n_total,
+             CAST(floor(100.0 * sqrt(
+               (SELECT min(n_total) FROM c) * 1.0 / n_total)) AS INT) AS rate
+      FROM c),
+    t AS (
+      SELECT d.lang,
+             ((d.doc_id % 1000003) * 2654435761) % 100 AS bucket,
+             r.rate, r.n_total
+      FROM documents d JOIN r USING (lang))
+    SELECT lang, n_total, rate,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM t GROUP BY lang, n_total, rate
+    """,
+    doc="§7 sampling: TEMPERATURE-SCALED domain mixing (the multinomial "
+    "alpha-sampling used to flatten domain skew in multilingual corpora "
+    "a la mC4/XLM-R, by downsampling): per-domain keep rate derived "
+    "FROM THE DATA as floor(100 * (n_min/n_domain)^(1-alpha)) with "
+    "alpha = 0.5 — the smallest domain keeps 100%, a 3.4x-larger one "
+    "keeps ~54% — then applied with the growth-stable Knuth-"
+    "multiplicative doc-id hash shared with sample_stratified/"
+    "train_val_test_split, so membership is reproducible across runs, "
+    "engines and partitionings, and adding documents never flips an "
+    "existing doc's fate.  alpha is pinned at 0.5 in the gated entry so "
+    "the exponent is sqrt(), which IEEE-754 requires CORRECTLY ROUNDED "
+    "— the rate is bit-identical across engines (a general pow() is "
+    "not so guaranteed).  Scale shape: one tiny per-domain count agg, "
+    "rates joined back by BROADCAST, the keep decision a map-side scan "
+    "predicate — at 100 TB the kept set never materializes separately "
+    "and the only full-data pass is the summarizing agg.",
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    # min over the tiny per-domain table: an empty-frame window beats a
+    # driver collect (no job barrier, stays one plan) — the exchange it
+    # adds moves |domains| rows
+    n_min = F.min("n_total").over(Window.partitionBy())
+    rates = counts.select(
+        "lang",
+        "n_total",
+        F.floor(F.lit(100.0) * F.sqrt(n_min * 1.0 / F.col("n_total")))
+        .cast("int")
+        .alias("rate"),
+    )
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
+    kept = docs.select("lang", bucket.alias("__b")).join(
+        F.broadcast(rates), "lang"
+    )
+    return kept.groupBy("lang", "n_total", "rate").agg(
+        F.sum((F.col("__b") < F.col("rate")).cast("long")).alias("n_kept")
+    )
+
+
+@register(
     "char_entropy",
     """
     WITH cc AS (

@@ -147,3 +147,43 @@ def test_cogroup_zero_fills_one_sided_keys(spark):
     assert out[1].order_total == 15.0 and out[1].event_value == 0.0
     assert out[2].n_orders == 1 and out[2].n_events == 1
     assert out[3].n_orders == 0 and out[3].n_events == 1
+
+
+def test_domain_mix_temperature_semantics(spark):
+    """Temperature mixing: the smallest domain keeps 100%, rates fall
+    with domain size as floor(100*sqrt(n_min/n)), membership is the
+    growth-stable doc-id hash (adding docs to OTHER domains never
+    changes a domain's kept set)."""
+    import tempfile
+
+    from nyc_taxi_data_clickhouse_spark.operators.corpus_ops import (
+        domain_mix_temperature,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, "t", lang, "s", 1) for i, lang in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    # 40 'big' docs (ids 0..39), 10 'small' (ids 100..109)
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        mk(rows).write.parquet(f"{d}/documents.parquet")
+        out = {r["lang"]: r for r in domain_mix_temperature(spark, d).collect()}
+    assert out["small"]["rate"] == 100 and out["small"]["n_kept"] == 10
+    assert out["big"]["rate"] == math.floor(100 * math.sqrt(10 / 40))  # 50
+    assert 0 < out["big"]["n_kept"] < 40
+
+    # growth stability: tripling the small domain only RAISES big's
+    # rate (n_min unchanged here: small stays the min? no - small grew,
+    # so min moved to... big=40 vs small=30: min=30), and every doc big
+    # kept before at the OLD rate is still kept at any rate >= old
+    # (bucket < rate is monotone in rate)
+    rows2 = rows + [(200 + i, "small") for i in range(20)]
+    with tempfile.TemporaryDirectory() as d:
+        mk(rows2).write.parquet(f"{d}/documents.parquet")
+        out2 = {r["lang"]: r for r in domain_mix_temperature(spark, d).collect()}
+    assert out2["big"]["rate"] == math.floor(100 * math.sqrt(30 / 40))  # 86
+    assert out2["big"]["rate"] > out["big"]["rate"]
+    assert out2["big"]["n_kept"] >= out["big"]["n_kept"]
