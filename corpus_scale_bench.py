@@ -88,6 +88,9 @@ OPS = {
     # ANN ops scale on the replicated embeddings table, not documents
     "ann_topk_cosine": "embeddings",
     "ann_ivf_topk": "embeddings",
+    # map-only curation (r10): the expected curve is exactly linear —
+    # any super-linearity would mean the scrub stopped being map-only
+    "pii_scrub_documents": "verbatim",
 }
 
 
