@@ -1737,9 +1737,12 @@ def _build_mpeg1_codec():
       any intra stream with all macroblocks coded only ever emit
       '1'); escape/stuffing ARE handled;
     - AC run/level SHORT codes outside the 12 most common entries —
-      the ENCODER always emits the escape form (legal MPEG-1), so
-      encoder output round-trips exactly; foreign streams using rarer
-      short codes raise rather than mis-decode.
+      the ENCODER defaults to the escape form (legal MPEG-1), so
+      encoder output round-trips exactly; ``ac_short=True`` emits the
+      implemented short codes, and a property test pins that both
+      encodings of the same coefficients decode identically (bit-level
+      self-consistency of the short-code decoder path).  Foreign
+      streams using rarer short codes raise rather than mis-decode.
 
     The encoder takes per-block QUANTIZED zigzag coefficient lists
     (``dct_zz``; index 0 is the DC VALUE, recon = value*8) exactly
@@ -1884,7 +1887,7 @@ def _build_mpeg1_codec():
         return out
 
     def encode_mpeg1(width, height, picture_rate_code, frames,
-                     quantizer_scale=8):
+                     quantizer_scale=8, ac_short=False):
         """Assemble an intra-only MPEG-1 video elementary stream.
 
         ``frames``: list of pictures; each picture is a list of
@@ -1894,8 +1897,13 @@ def _build_mpeg1_codec():
         value*8); AC entries are the quantized levels the decoder will
         dequantize with the default intra matrix at
         ``quantizer_scale``.  AC levels are written in ESCAPE form
-        (always legal), so the stream round-trips exactly.
-        """
+        (always legal) by default, so the stream round-trips exactly;
+        ``ac_short=True`` emits the table B-14 short code (+ sign bit)
+        whenever one exists for (run, |level|) — the two encodings of
+        the same coefficients MUST decode identically, which is the
+        bit-level self-consistency property the tests pin on the
+        short-code decoder path (prefix framing, sign handling,
+        run accumulation)."""
         mb_cols = (width + 15) // 16
         w = _BitWriter()
         w.start_code(0xB3)
@@ -1943,20 +1951,24 @@ def _build_mpeg1_codec():
                             if level == 0:
                                 run += 1
                                 continue
-                            w.bits(ESC)
-                            w.uint(run, 6)
-                            if -127 <= level <= 127 and level != 0:
-                                w.uint(level & 0xFF, 8)
-                            elif 128 <= level <= 255:
-                                w.uint(0, 8)
-                                w.uint(level, 8)
-                            elif -255 <= level <= -128:
-                                w.uint(0x80, 8)
-                                w.uint(level + 256, 8)
+                            if ac_short and (run, abs(level)) in AC_SHORT:
+                                w.bits(AC_SHORT[(run, abs(level))])
+                                w.bits("1" if level < 0 else "0")
                             else:
-                                raise ValueError(
-                                    f"escape level {level} out of range"
-                                )
+                                w.bits(ESC)
+                                w.uint(run, 6)
+                                if -127 <= level <= 127 and level != 0:
+                                    w.uint(level & 0xFF, 8)
+                                elif 128 <= level <= 255:
+                                    w.uint(0, 8)
+                                    w.uint(level, 8)
+                                elif -255 <= level <= -128:
+                                    w.uint(0x80, 8)
+                                    w.uint(level + 256, 8)
+                                else:
+                                    raise ValueError(
+                                        f"escape level {level} out of range"
+                                    )
                             run = 0
                         w.bits(EOB)
         w.start_code(0xB7)  # sequence_end

@@ -750,6 +750,40 @@ def test_mpeg1_intra_roundtrip_vs_independent_model(data, n_mb, n_frames):
         assert got[3] == _mpeg1_expected_pixels(frames[f], w, h), f
 
 
+@settings(max_examples=20, deadline=None)
+@given(data=st.data())
+def test_mpeg1_short_codes_decode_like_escapes(data):
+    """The same coefficients encoded via table B-14 SHORT codes and via
+    the always-legal ESCAPE form must decode to identical pixels — the
+    bit-level self-consistency gate on the short-code decoder path
+    (prefix framing, sign bit, run accumulation).  Levels/runs are
+    drawn to hit every implemented short entry."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    enc, dec, pix = _build_mpeg1_codec()
+    short_entries = [(0, 1), (1, 1), (0, 2), (2, 1), (0, 3), (3, 1),
+                     (4, 1), (1, 2), (5, 1), (6, 1), (7, 1)]
+    mb = []
+    for _b in range(6):
+        zz = [data.draw(st.integers(0, 255))] + [0] * 63
+        i = 0
+        for _k in range(data.draw(st.integers(1, 5))):
+            run, mag = data.draw(st.sampled_from(short_entries))
+            i += run + 1
+            if i > 63:
+                break
+            zz[i] = mag * data.draw(st.sampled_from([1, -1]))
+        mb.append(zz)
+    frames = [[mb]]
+    via_short = enc(16, 16, 3, frames, ac_short=True)
+    via_escape = enc(16, 16, 3, frames, ac_short=False)
+    assert via_short != via_escape  # the encodings genuinely differ
+    assert len(via_short) < len(via_escape)  # short codes are shorter
+    assert pix(dec(via_short), 0) == pix(dec(via_escape), 0)
+
+
 def test_mpeg1_scope_bounds():
     from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
         _build_mpeg1_codec,
