@@ -37,7 +37,7 @@ from nyc_taxi_data_clickhouse_spark.suite import load_table, register
     "text_tfidf_topk",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
@@ -79,7 +79,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_terms",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents),
     df AS (SELECT term, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY term),
     n AS (SELECT count(*) AS n FROM documents)
@@ -167,7 +167,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
       FROM documents),
     s AS (
       SELECT doc_id, toks,
@@ -219,7 +219,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_surprisal",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents),
     cf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
     tot AS (SELECT count(*) AS n FROM tok)
@@ -255,9 +255,9 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t,
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t,
              (CASE WHEN trim(text)='' THEN 0
-                   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS n
+                   ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) END) AS n
       FROM documents),
     uni AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE n > 0),
     uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
@@ -346,7 +346,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bm25_topk",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents),
     dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
     stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
@@ -421,7 +421,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_oov_rate",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents),
     vocab AS (
       SELECT term FROM (

@@ -29,11 +29,11 @@ from nyc_taxi_data_clickhouse_spark.suite import load_events, load_table, regist
     "dedup_incremental",
     r"""
     WITH corpus AS (
-      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      SELECT regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
       FROM documents WHERE doc_id % 5 <> 4),
     batch AS (
       SELECT doc_id, lang,
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+             regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
       FROM documents WHERE doc_id % 5 = 4)
     SELECT b.doc_id, b.lang FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = b.norm)
@@ -63,7 +63,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_ngram_df",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,
@@ -191,18 +191,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alpha = 0.5 — the smallest domain keeps 100%, a 3.4x-larger one "
     "keeps ~54% — then applied with the growth-stable Knuth-"
     "multiplicative doc-id hash shared with sample_stratified/"
-    "train_val_test_split, so membership is reproducible across runs, "
-    "engines and partitionings, and adding documents never flips an "
-    "existing doc's fate.  alpha is pinned at 0.5 in the gated entry so "
+    "train_val_test_split, so membership at a given rate is stable "
+    "(bucket < rate is monotone in rate) and adding documents to OTHER "
+    "domains never flips a doc's fate — growing a doc's own domain "
+    "lowers that domain's rate and can evict previously-kept docs "
+    "whose bucket falls between the old and new rate (ADVICE r10).  "
+    "alpha is pinned at 0.5 in the gated entry so "
     "the exponent is sqrt(), which IEEE-754 requires CORRECTLY ROUNDED "
     "— the rate is bit-identical across engines (a general pow() is "
     "not so guaranteed).  Scale shape: one tiny per-domain count agg, "
-    "rates joined back by BROADCAST, the keep decision a map-side scan "
-    "predicate — at 100 TB the kept set never materializes separately "
-    "and the only full-data pass is the summarizing agg.",
+    "rates joined back under the count-GATED broadcast guard "
+    "(stats.py pattern, VERDICT r10 item 2 — a 10^7-domain corpus "
+    "must shuffle-join the rates, not OOM the driver), the keep "
+    "decision a map-side scan predicate — at 100 TB the kept set "
+    "never materializes separately and the only full-data pass is the "
+    "summarizing agg.",
 )
-def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def domain_mix_temperature(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    broadcast_side: bool | None = None,
+) -> DataFrame:
     from pyspark.sql import Window
+
+    from nyc_taxi_data_clickhouse_spark.operators.stats import _group_table_hint
 
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
@@ -218,9 +231,10 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rate"),
     )
     bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
-    kept = docs.select("lang", bucket.alias("__b")).join(
-        F.broadcast(rates), "lang"
-    )
+    # per-domain side table: unbounded cardinality on a real crawl, so
+    # the broadcast is count-gated with a shuffle-join fallback
+    hint = _group_table_hint(rates, broadcast_side, label="domain_mix_rates")
+    kept = docs.select("lang", bucket.alias("__b")).join(hint(rates), "lang")
     return kept.groupBy("lang", "n_total", "rate").agg(
         F.sum((F.col("__b") < F.col("rate")).cast("long")).alias("n_kept")
     )

@@ -37,7 +37,7 @@ def normalize_text(col: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, trim, collapse
     internal whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+", " ")
 
 
 def dedup_exact(

@@ -57,7 +57,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
            count(*) OVER (PARTITION BY norm) AS cluster_size
     FROM (SELECT doc_id,
-                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
           FROM documents)
     """,
     doc="§7 dedup: per-document exact-dup cluster assignment (cluster "
@@ -84,7 +84,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_ngram",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,
@@ -124,7 +124,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_components",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,
@@ -170,7 +170,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_components_star",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,
@@ -230,7 +230,7 @@ from nyc_taxi_data_clickhouse_spark.operators import text as text_ops  # noqa: E
              {_WC} AS wc,
              {_hits('en')} AS c_en, {_hits('de')} AS c_de,
              {_hits('es')} AS c_es, {_hits('fr')} AS c_fr,
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+             regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
       FROM documents),
     f AS (
       SELECT * FROM h
@@ -347,7 +347,7 @@ def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id,
-             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS d
+             list_distinct(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS d
       FROM documents WHERE trim(text) != '')
     SELECT doc_id,
            len(d) AS n_distinct,
@@ -362,7 +362,7 @@ def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    d = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    d = F.array_distinct(F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+"))
     stop = F.array([F.lit(w) for w in ["the", "a", "of", "and", "to"]])
     return docs.select(
         "doc_id",

@@ -1735,7 +1735,9 @@ def _build_mpeg1_codec():
       I-frame-decode contract;
     - macroblock_address_increment codes above 15 (the fixtures and
       any intra stream with all macroblocks coded only ever emit
-      '1'); escape/stuffing ARE handled;
+      '1'); stuffing is consumed; escape is recognized and REJECTED
+      (an increment > 33 implies skipped macroblocks, illegal in
+      intra pictures — ADVICE r10 wording fix);
     - AC run/level SHORT codes outside the 12 most common entries —
       the ENCODER defaults to the escape form (legal MPEG-1), so
       encoder output round-trips exactly; ``ac_short=True`` emits the

@@ -57,7 +57,7 @@ def quality_bucket(text: Column | str) -> Column:
 def word_count(text: Column | str) -> Column:
     """Whitespace token count (the repo's standard tokenizer split)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.split(F.trim(c), r"\s+")).cast("long")
+    return F.size(F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")).cast("long")
 
 
 @register(
@@ -66,7 +66,7 @@ def word_count(text: Column | str) -> Column:
     WITH scored AS (
       SELECT CAST(floor(1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                         / length(text)) AS INT) AS bucket,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+             CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS toks
       FROM documents WHERE length(text) > 0),
     hist AS (
       SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
@@ -149,13 +149,24 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the domain scoring STRICTLY below its bucket), so one global "
     "percentile threshold filters every domain fairly instead of "
     "emptying the small ones.  Scale shape: per-(domain, bucket) "
-    "count (one hash agg), cumulative over the tiny histogram, then a "
-    "BROADCAST join back to the documents — NOT a percent_rank() "
+    "count (one hash agg), cumulative over the tiny histogram, then "
+    "the CDF joined back to the documents — NOT a percent_rank() "
     "window, whose per-domain global sort degenerates to one task per "
-    "domain on a domain-skewed corpus.  pct is an exact small-integer "
-    "ratio (below/n) so the IEEE division is identical cross-engine.",
+    "domain on a domain-skewed corpus.  The join-back broadcast is "
+    "GATED on the CDF's row count (stats.py's group-count guard, "
+    "VERDICT r10 item 2): a 10^7-domain crawl has a ~10^8-row CDF "
+    "that must shuffle-join, not OOM the driver.  pct is an exact "
+    "small-integer ratio (below/n) so the IEEE division is identical "
+    "cross-engine.",
 )
-def quality_percentile_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_percentile_by_domain(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    broadcast_side: bool | None = None,
+) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.stats import _group_table_hint
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     scored = docs.select(
         "doc_id", "lang", quality_bucket("text").alias("bucket")
@@ -170,7 +181,11 @@ def quality_percentile_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n").over(w_cum) - F.col("n")).alias("below"),
         F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
     )
-    return scored.join(F.broadcast(cdf), ["lang", "bucket"]).select(
+    # (domain, bucket) cardinality is unbounded on a real crawl, so the
+    # broadcast must be guarded exactly like the per-group stats tables
+    # in exact order statistics: count-gated, shuffle-join fallback.
+    hint = _group_table_hint(cdf, broadcast_side, label="domain_quality_cdf")
+    return scored.join(hint(cdf), ["lang", "bucket"]).select(
         "doc_id",
         "lang",
         "bucket",

@@ -99,7 +99,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT DISTINCT doc_id, tok
       FROM (SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                   unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents)
       WHERE tok <> ''),
     df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
@@ -367,9 +367,9 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH pos AS (
       SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+             unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term,
              generate_subscripts(
-               string_split_regex(lower(trim(text)), '\s+'), 1) AS p
+               string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), 1) AS p
       FROM documents),
     big AS (
       SELECT doc_id,

@@ -96,7 +96,7 @@ def iqr_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_representatives",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents),
     sh AS (
       SELECT doc_id,

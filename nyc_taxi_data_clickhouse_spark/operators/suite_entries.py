@@ -4,7 +4,11 @@ Each entry binds an operator from ``operators/`` to the driver's
 documents/embeddings testdata and pairs it with a DuckDB oracle that
 re-states the SAME deterministic definition in ANSI SQL.  Operators
 whose definition depends on xxhash64 (simhash, LSH internals) or on
-Python-side decoding (media features) get rows-only entries.
+Python-side decoding (media features) are gated through CLOSED-FORM
+planted oracles instead — fixtures constructed so the expected output
+is a SQL-computable formula (e.g. the pigeonhole planted-pair set for
+simhash, pixel-sum formulas for the codecs) — with full row/schema/
+hash checks; nothing here is rows-only anymore (VERDICT r10 item 8).
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ from nyc_taxi_data_clickhouse_spark.operators import dedup, similarity, text
 from nyc_taxi_data_clickhouse_spark.operators.text import LANG_MARKERS
 
 # shared SQL fragments (DuckDB dialect) mirroring operators/text.py
-_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_TOKS = r"string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')"
 _WC = rf"(CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END)"
 
 
@@ -55,14 +59,14 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN {_WC} > 0 THEN {_hits('en')} * 1.0 / {_WC} ELSE 0.0 END, 4)
                AS stopword_ratio,
            round(CASE WHEN {_WC} > 0
-                 THEN length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / {_WC}
+                 THEN length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) * 1.0 / {_WC}
                  ELSE 0.0 END, 4) AS mean_word_len,
            CAST(
              least({_WC}, 100) * 5
              + (CASE WHEN {_WC} > 0
                 THEN least(({_hits('en')} * 1500) // {_WC}, 300) ELSE 0 END)
              + (CASE WHEN (CASE WHEN {_WC} > 0
-                      THEN length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / {_WC}
+                      THEN length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) * 1.0 / {_WC}
                       ELSE 0.0 END) BETWEEN 3 AND 10 THEN 200 ELSE 0 END)
              AS BIGINT) AS quality_score
     FROM documents
@@ -119,7 +123,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_subword_tokens",
-    r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
+    r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) "
     "AS subword_count FROM documents",
     doc="§7 text: BPE-ish regex subword counting (token-budget estimate)",
 )
@@ -177,7 +181,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT min(doc_id) AS keep_id, count(*) AS group_size
     FROM documents
-    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    GROUP BY regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')
     """,
     doc="§7 dedup: exact (normalized-text hash groupBy, keep lowest id)",
 )
@@ -188,7 +192,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t FROM documents),
     sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(

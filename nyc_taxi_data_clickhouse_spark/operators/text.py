@@ -30,7 +30,7 @@ ENGLISH_STOPWORDS = LANG_MARKERS["en"]
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+")
 
 
 def token_count(col: Column | str, toks: Column | None = None) -> Column:
@@ -64,7 +64,7 @@ def quality_features(col: Column | str, toks: Column | None = None) -> list[Colu
     stop_hits = _marker_hits(toks, ENGLISH_STOPWORDS)
     stop_ratio = F.when(wc > 0, stop_hits / wc).otherwise(F.lit(0.0))
     mean_word_len = F.when(
-        wc > 0, F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / wc
+        wc > 0, F.length(F.regexp_replace(F.trim(c), r"[ \t\n\x0B\f\r]+", "")) / wc
     ).otherwise(F.lit(0.0))
     # integer-valued composite in [0, 1000]: length term (<=500) +
     # stopword term (<=300) + word-shape term (200).  Integer arithmetic
@@ -103,7 +103,7 @@ def lang_id(col: Column | str, toks: Column | None = None) -> Column:
 #: non-space-non-word symbols — the GPT-2-style split shape, minus
 #: lookaheads so the same pattern runs in Spark (Java regex) and
 #: DuckDB (RE2) identically.
-SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def subword_token_count(col: Column | str) -> Column:

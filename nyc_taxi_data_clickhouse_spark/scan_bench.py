@@ -436,7 +436,11 @@ def run_scan_suite(spark: SparkSession, sf_dir: str, cpus: int, repeats: int) ->
                 while fh.read(1 << 22):
                     pass
         docs = spark.read.parquet(dpath)
-        cur_repeats = int(os.environ.get("BENCH_SCAN_CURATION_REPEATS", "3"))
+        # clamp to >=1: 0 repeats would leave times empty and raise on
+        # min() after the warmup pass already ran (ADVICE r10)
+        cur_repeats = max(
+            1, int(os.environ.get("BENCH_SCAN_CURATION_REPEATS", "3"))
+        )
         cur_tp: dict[str, float] = {}
         for name, shape in CURATION_SHAPES.items():
             times = []
@@ -447,13 +451,26 @@ def run_scan_suite(spark: SparkSession, sf_dir: str, cpus: int, repeats: int) ->
                 shape(docs).write.format("noop").mode("overwrite").save()
                 if i >= 1:
                     times.append(time.perf_counter() - t0)
+            # populate ALL five per-query stat dicts, with the scan
+            # section's exact conventions, so consumers that zip the
+            # payload's stat dicts per query never hit an asymmetric
+            # key set (ADVICE r10)
+            keep = sorted(times)[: max(1, len(times) - len(times) // 4)]
             payload["query_best_sec"][name] = round(min(times), 4)
             payload["query_median_sec"][name] = round(
                 statistics.median(times), 4
             )
+            payload["query_trimmed_mean_sec"][name] = round(
+                statistics.mean(keep), 4
+            )
             payload["query_spread_sec"][name] = round(
                 max(times) - min(times), 4
             )
+            if len(times) >= 4:
+                q1_, _, q3_ = statistics.quantiles(times, n=4)
+                payload["query_iqr_sec"][name] = round(q3_ - q1_, 4)
+            else:
+                payload["query_iqr_sec"][name] = payload["query_spread_sec"][name]
             cur_tp[name] = round(drows / min(times) / cpus, 1)
         payload["docs_rows"] = drows
         payload["docs_factor"] = docs_scan_factor()

@@ -179,22 +179,47 @@ def _entry_module_relpath(spec: "QuerySpec") -> str | None:
         return None
 
 
+# Driver verification-window mechanics (VERDICT r10 item 1).  The
+# driver hash-checks the first DRIVER_WINDOW entries of registry()
+# order each round (observed exactly 50 in CORRECTNESS_r01..r10).
+DRIVER_WINDOW = 50
+# A verified entry whose green row is MUST_REVERIFY_AGE driver rounds
+# old is promoted ahead of the changed-module tier: in round 10 the
+# module-granularity change detector (one edit to suite_entries.py
+# promotes dozens of entries) filled all window slots for five straight
+# rounds and starved 15 entries at round-5 freshness — exactly the
+# trust-forever failure the staleness rotation exists to prevent.
+MUST_REVERIFY_AGE = 4
+# Absolute bound tests enforce: with never-verified entries capped at a
+# handful per round, a must-reverify entry displaced from one window is
+# stalest in the next, so age never exceeds MUST_REVERIFY_AGE + 2.
+STALENESS_HARD_CAP = 6
+
+
 def _ordered_names(
     order: list[str],
     verified: dict[str, int],
     changed: Callable[[str, int], bool],
 ) -> list[str]:
     """Pure ordering rule for the driver's bounded window:
-    (0) never-hash-verified entries, registration order;
-    (1) verified entries whose implementation changed since their
+    (0) never-hash-verified entries, registration order (new entries
+        get their first driver check in their introduction round);
+    (1) MUST-RE-VERIFY: verified entries whose green row is
+        >= MUST_REVERIFY_AGE driver rounds old, stalest first — ahead
+        of the changed tier so change-detection pressure can never
+        starve them past the trust bound (VERDICT r10 item 1);
+    (2) verified entries whose implementation changed since their
         verification round, stalest first;
-    (2) merely-stale verified entries, stalest first."""
+    (3) merely-stale verified entries, stalest first."""
+    latest = max(verified.values(), default=0)
 
     def key(name: str):
         if name not in verified:
             return (0, 0, order.index(name))
         rnd = verified[name]
-        return (1 if changed(name, rnd) else 2, rnd, order.index(name))
+        if latest - rnd >= MUST_REVERIFY_AGE:
+            return (1, rnd, order.index(name))
+        return (2 if changed(name, rnd) else 3, rnd, order.index(name))
 
     return sorted(order, key=key)
 
@@ -221,10 +246,12 @@ def registry() -> dict[str, QuerySpec]:
     verified = _driver_verified_rounds()
     order = list(_REGISTRY)
 
-    # never-verified entries first (registration order), then verified
-    # entries whose implementation module changed since their last
-    # verified round (the r3 events-timestamp incident class), then the
-    # merely-stale — least-recently-verified first so the window
+    # never-verified entries first (registration order), then entries
+    # whose green row hit the MUST_REVERIFY_AGE trust bound (the r10
+    # starvation class), then verified entries whose implementation
+    # module changed since their last verified round (the r3
+    # events-timestamp incident class), then the merely-stale — each
+    # verified tier least-recently-verified first so the window
     # re-checks the stalest green rows
     def _changed(name: str, round_no: int) -> bool:
         rel = _entry_module_relpath(_REGISTRY[name])
@@ -890,7 +917,7 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_tokens",
     r"""
     SELECT doc_id, tok, count(*) AS n
-    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
           FROM documents)
     GROUP BY doc_id, tok
     """,
