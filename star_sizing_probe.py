@@ -109,6 +109,7 @@ def main() -> None:
         walls = {"sized": [], "control": []}
         metrics = {}
         widths = {}
+        failed: dict[str, dict] = {}
         for i in range(repeats):
             for variant in variants:
                 derived_log.clear()
@@ -127,6 +128,26 @@ def main() -> None:
                     ).mode("overwrite").save()
                     wall = time.perf_counter() - t0
                     m1 = stage_totals(spark)
+                except Exception as exc:  # heap-capped arms (VERDICT r10
+                    # item 3): an executor OOM in local mode kills the
+                    # JVM — record the failure as a MEASURED outcome
+                    # instead of crashing the probe, then stop (the
+                    # session is unusable after an OOM).
+                    failed[variant] = {
+                        "outcome": "failed",
+                        "wall_sec_at_failure": round(
+                            time.perf_counter() - t0, 1
+                        ),
+                        "error": repr(exc)[:400],
+                    }
+                    print(
+                        f"edges={n_edges} {variant} run{i}: FAILED after "
+                        f"{failed[variant]['wall_sec_at_failure']}s: "
+                        f"{failed[variant]['error'][:160]}",
+                        file=sys.stderr,
+                    )
+                    partitioning.sized_partitions_for_rows = orig_sizer
+                    break
                 finally:
                     partitioning.sized_partitions_for_rows = orig_sizer
                 delta = [b - a for a, b in zip(m0, m1)]
@@ -147,6 +168,9 @@ def main() -> None:
                     file=sys.stderr,
                 )
         for variant in variants:
+            if variant in failed:
+                arm[variant] = failed[variant]
+                continue
             d = metrics[variant]
             arm[variant] = {
                 "wall_best_sec": round(min(walls[variant]), 2),
@@ -155,13 +179,17 @@ def main() -> None:
                 "shuffle_gb": round(d[1], 3),
                 "spill_gb": round(d[2], 3),
             }
-        if "sized" in arm:
+        if "sized" in arm and "sized" not in failed:
             arm["sized"]["round_widths"] = widths.get("per_round", [])
         results[str(n_edges)] = arm
+        if failed:
+            break  # JVM state is suspect after a failure; stop the probe
 
     payload = {
         "op": "connected_components_star (synthetic pseudo-random graph)",
         "cpus": int(cpus),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "repeats": repeats,
         "arms": results,
     }
@@ -174,7 +202,15 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|")
     for e, arm in results.items():
         for variant in variants:
-            r = arm[variant]
+            r = arm.get(variant)
+            if r is None:
+                continue
+            if r.get("outcome") == "failed":
+                print(
+                    f"| {e} | {variant} | FAILED @ "
+                    f"{r['wall_sec_at_failure']}s | - | - | - | - |"
+                )
+                continue
             w = r.get("round_widths", "")
             print(
                 f"| {e} | {variant} | {r['wall_best_sec']} | "
