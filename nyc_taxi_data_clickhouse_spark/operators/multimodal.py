@@ -1717,27 +1717,34 @@ def _build_y4m_codec():
 
 
 def _build_mpeg1_codec():
-    """Pure-stdlib MPEG-1 video (ISO/IEC 11172-2) I-FRAME codec:
-    ``(encode_mpeg1, parse_mpeg1, mpeg1_frame_pixels)`` — the first
-    real INTER-FRAME-CAPABLE compressed video container in the repo
-    (VERDICT r9 item 5), scoped to intra-only (I-picture) streams.
-    Every stage of a real MPEG-1 intra decode is implemented: start-
-    code walk, sequence/GOP/picture/slice headers, macroblock-address
-    and macroblock-type VLCs, the intra DC size VLCs (tables B-12/
-    B-13), AC run/level coding (the high-frequency entries of table
-    B-14 plus the full ESCAPE form), zigzag, the MPEG-1 intra
-    dequantizer with oddification mismatch control, and the same
-    separable float IDCT the JPEG codec uses — reused machinery, new
-    bitstream (the point of the VERDICT item).
+    """Pure-stdlib MPEG-1 video (ISO/IEC 11172-2) I/P codec:
+    ``(encode_mpeg1, parse_mpeg1, mpeg1_frame_pixels)`` — a real
+    INTER-FRAME compressed video decoder (VERDICT r9 item 5 intra;
+    r10 item 6 added FORWARD MOTION COMPENSATION).  Every stage of a
+    real MPEG-1 decode is implemented: start-code walk, sequence/GOP/
+    picture/slice headers, macroblock-address and macroblock-type VLCs
+    (tables B-1, B-2a, B-2b), coded_block_pattern (table B-3), motion
+    vector VLCs + f_code differential reconstruction with the
+    little/big wrap rule (table B-4, spec 2.4.4.2), half-pel
+    interpolation with MPEG rounding ((a+b+1)>>1), skipped-macroblock
+    copy, PMV/DC-predictor reset rules, the intra DC size VLCs
+    (tables B-12/B-13), AC run/level coding (the high-frequency
+    entries of table B-14, the non-intra first-coefficient '1s' form,
+    plus the full ESCAPE form), zigzag, both MPEG-1 dequantizers
+    (intra DC*8 / 2·level and non-intra 2·level+sign, each with
+    oddification mismatch control), and the same separable float IDCT
+    the JPEG codec uses — reused machinery, new bitstream.
 
     Declared scope bounds (raise ``NotImplementedError``):
-    - P/B pictures (motion compensation) — intra-only is the
-      I-frame-decode contract;
-    - macroblock_address_increment codes above 15 (the fixtures and
-      any intra stream with all macroblocks coded only ever emit
-      '1'); stuffing is consumed; escape is recognized and REJECTED
-      (an increment > 33 implies skipped macroblocks, illegal in
-      intra pictures — ADVICE r10 wording fix);
+    - B pictures (bidirectional prediction) — I/P streams are the
+      contract; a real pipeline needing B ships ffmpeg, and the Spark
+      operator shape (map-only Arrow batches) is unchanged by it;
+    - macroblock_address_increment codes above 15 per VLC (escape
+      (+33) IS handled in P pictures where long skips are legal, and
+      still rejected in intra pictures where skips are illegal);
+    - motion_code magnitudes above 7 (table B-4 subset, same declared
+      convention as MBA; the encoder selects forward_f_code so fixture
+      differentials stay inside it);
     - AC run/level SHORT codes outside the 12 most common entries —
       the ENCODER defaults to the escape form (legal MPEG-1), so
       encoder output round-trips exactly; ``ac_short=True`` emits the
@@ -1805,6 +1812,49 @@ def _build_mpeg1_codec():
            13: "00001000", 14: "00000111", 15: "00000110"}
     MBA_ESCAPE = "00000001000"   # +33, then another increment follows
     MBA_STUFF = "00000001111"    # discarded
+    #: motion_code VLCs (table B-4) share table B-1's code tree:
+    #: code 0 -> '1', +m -> B-1's code for 2m+1, -m -> B-1's code for
+    #: 2m (the sign is folded into the tree, NOT a separate bit) —
+    #: |code| <= 7 here, the same declared-subset convention as MBA;
+    #: larger codes raise and the encoder picks f_code so fixture
+    #: deltas stay within it.
+    MV_ENC = {0: "1"}
+    for _m in range(1, 8):
+        MV_ENC[_m] = MBA[2 * _m + 1]
+        MV_ENC[-_m] = MBA[2 * _m]
+    #: macroblock_type, P-pictures (table B-2b):
+    #: bits -> (quant, motion_forward, pattern, intra)
+    P_MBTYPE_DEC = {
+        "1": (0, 1, 1, 0),
+        "01": (0, 0, 1, 0),
+        "001": (0, 1, 0, 0),
+        "00011": (0, 0, 0, 1),
+        "00010": (1, 0, 1, 0),
+        "00001": (1, 1, 1, 0),
+        "000001": (1, 0, 0, 1),
+    }
+    #: coded_block_pattern (table B-3), cbp value -> bits; bit 5 (32)
+    #: is the first luma block, bit 0 (1) is Cr
+    CBP_ENC = {
+        60: "111", 4: "1101", 8: "1100", 16: "1011", 32: "1010",
+        12: "10011", 48: "10010", 20: "10001", 40: "10000",
+        28: "01111", 44: "01110", 52: "01101", 56: "01100",
+        1: "01011", 61: "01010", 2: "01001", 62: "01000",
+        24: "001111", 36: "001110", 3: "001101", 63: "001100",
+        5: "0010111", 9: "0010110", 17: "0010101", 33: "0010100",
+        6: "0010011", 10: "0010010", 18: "0010001", 34: "0010000",
+        7: "00011111", 11: "00011110", 19: "00011101", 35: "00011100",
+        13: "00011011", 49: "00011010", 21: "00011001", 41: "00011000",
+        14: "00010111", 50: "00010110", 22: "00010101", 42: "00010100",
+        15: "00010011", 51: "00010010", 23: "00010001", 43: "00010000",
+        25: "00001111", 37: "00001110", 26: "00001101", 38: "00001100",
+        29: "00001011", 45: "00001010", 53: "00001001", 57: "00001000",
+        30: "00000111", 46: "00000110", 54: "00000101", 58: "00000100",
+        31: "000000111", 47: "000000110", 55: "000000101",
+        59: "000000100", 27: "000000011", 39: "000000010",
+    }
+    #: default non-intra quantizer matrix (ISO 11172-2 §2.4.2.3): flat 16
+    NONINTRA_Q = [16] * 64
 
     COS = [[_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
            for x in range(8)]
@@ -1877,6 +1927,8 @@ def _build_mpeg1_codec():
     MBA_DEC = {v: k for k, v in MBA.items()}
     MBA_DEC[MBA_ESCAPE] = "escape"
     MBA_DEC[MBA_STUFF] = "stuff"
+    MV_DEC = {v: k for k, v in MV_ENC.items()}
+    CBP_DEC = {v: k for k, v in CBP_ENC.items()}
 
     def _dc_bits(diff, table):
         """size VLC + differential magnitude bits (JPEG-style coding:
@@ -1888,24 +1940,61 @@ def _build_mpeg1_codec():
             out += format(code, f"0{size}b")
         return out
 
-    def encode_mpeg1(width, height, picture_rate_code, frames,
-                     quantizer_scale=8, ac_short=False):
-        """Assemble an intra-only MPEG-1 video elementary stream.
+    def _motion_bits(delta, f):
+        """Differential motion component -> B-4 VLC (+ motion_r when
+        f > 1).  Spec 2.4.4.2 inverted: |code| = ceil(|delta|/f),
+        motion_r = |delta| - 1 - f*(|code|-1)."""
+        if delta == 0:
+            return MV_ENC[0]
+        a = abs(delta)
+        code = (a + f - 1) // f
+        if code > 7:
+            raise NotImplementedError(
+                f"MPEG-1 motion_code {code} outside the implemented "
+                "subset (|code| <= 7); raise forward_f_code instead"
+            )
+        bits = MV_ENC[code if delta > 0 else -code]
+        if f > 1:
+            bits += format(a - 1 - f * (code - 1), f"0{f.bit_length() - 1}b")
+        return bits
 
-        ``frames``: list of pictures; each picture is a list of
+    def encode_mpeg1(width, height, picture_rate_code, frames,
+                     quantizer_scale=8, ac_short=False, forward_f_code=4):
+        """Assemble an MPEG-1 video elementary stream of I- and
+        (round 11) forward-predicted P-pictures.
+
+        ``frames``: list of pictures.  An I-picture is a list of
         macroblocks in raster order; each macroblock is a list of SIX
         64-entry quantized zigzag coefficient blocks (4 Y raster-order,
         Cb, Cr).  ``dct_zz[0]`` is the absolute DC value (recon =
         value*8); AC entries are the quantized levels the decoder will
         dequantize with the default intra matrix at
-        ``quantizer_scale``.  AC levels are written in ESCAPE form
-        (always legal) by default, so the stream round-trips exactly;
-        ``ac_short=True`` emits the table B-14 short code (+ sign bit)
-        whenever one exists for (run, |level|) — the two encodings of
-        the same coefficients MUST decode identically, which is the
-        bit-level self-consistency property the tests pin on the
-        short-code decoder path (prefix framing, sign handling,
-        run accumulation)."""
+        ``quantizer_scale``.  A P-picture is a dict ``{"type": "P",
+        "mbs": [...]}`` whose macroblocks are each one of:
+
+        - ``"skip"`` — skipped macroblock (zero motion, no residual;
+          illegal as the first or last macroblock of a slice);
+        - ``{"intra": [six 64-entry dct_zz blocks]}`` — intra-coded;
+        - ``{"mv": (mvx, mvy) | None, "blocks": [six of (64-list |
+          None)]}`` — motion-compensated and/or residual-coded:
+          ``mv`` is the ABSOLUTE forward vector in half-pel units
+          (the encoder differences it against the predictor and picks
+          table B-2b type '1' / '001' / '01' from which parts are
+          present); ``blocks`` entries are NON-INTRA dct_zz residuals
+          (position 0 is an ordinary run/level coefficient, no DC
+          prediction), ``None``/all-zero meaning not-coded (the
+          coded_block_pattern is derived).
+
+        AC levels are written in ESCAPE form (always legal) by
+        default, so the stream round-trips exactly; ``ac_short=True``
+        emits the table B-14 short code (+ sign bit) whenever one
+        exists for (run, |level|) — the two encodings of the same
+        coefficients MUST decode identically, which is the bit-level
+        self-consistency property the tests pin on the short-code
+        decoder path (prefix framing, sign handling, run
+        accumulation).  Non-intra first coefficients use the '1s'
+        special form when (run, |level|) = (0, 1), as the spec
+        requires."""
         mb_cols = (width + 15) // 16
         w = _BitWriter()
         w.start_code(0xB3)
@@ -1923,56 +2012,143 @@ def _build_mpeg1_codec():
         w.uint(0, 25)
         w.uint(1, 1)
         w.uint(0, 1)
-        for f, mbs in enumerate(frames):
+        def _ac(run, level, first=False):
+            """One (run, level) coefficient: first-coefficient '1s'
+            special form, short code, or escape."""
+            if first and run == 0 and abs(level) == 1:
+                w.bits("1")
+                w.bits("1" if level < 0 else "0")
+                return
+            if ac_short and (run, abs(level)) in AC_SHORT:
+                w.bits(AC_SHORT[(run, abs(level))])
+                w.bits("1" if level < 0 else "0")
+                return
+            w.bits(ESC)
+            w.uint(run, 6)
+            if -127 <= level <= 127 and level != 0:
+                w.uint(level & 0xFF, 8)
+            elif 128 <= level <= 255:
+                w.uint(0, 8)
+                w.uint(level, 8)
+            elif -255 <= level <= -128:
+                w.uint(0x80, 8)
+                w.uint(level + 256, 8)
+            else:
+                raise ValueError(f"escape level {level} out of range")
+
+        def _intra_mb_blocks(mb, preds):
+            if len(mb) != 6 or any(len(b) != 64 for b in mb):
+                raise ValueError("macroblock must be 6 x 64 dct_zz")
+            for bi, blk in enumerate(mb):
+                comp = 0 if bi < 4 else bi - 3
+                table = DC_LUMA if comp == 0 else DC_CHROMA
+                diff = blk[0] - preds[comp]
+                preds[comp] = blk[0]
+                w.bits(_dc_bits(diff, table))
+                run = 0
+                for level in blk[1:]:
+                    if level == 0:
+                        run += 1
+                        continue
+                    _ac(run, level)
+                    run = 0
+                w.bits(EOB)
+
+        def _noninter_block(blk):
+            run, first = 0, True
+            for level in blk:
+                if level == 0:
+                    run += 1
+                    continue
+                _ac(run, level, first=first)
+                run, first = 0, False
+            if first:
+                raise ValueError("coded non-intra block has no coefficients")
+            w.bits(EOB)
+
+        f_fwd = 1 << (forward_f_code - 1)
+        for f, pic in enumerate(frames):
+            is_p = isinstance(pic, dict)
+            mbs = pic["mbs"] if is_p else pic
+            if is_p and pic.get("type") != "P":
+                raise ValueError(f"unknown picture type {pic.get('type')!r}")
             if len(mbs) % mb_cols:
                 raise ValueError("macroblock count not a multiple of mb_cols")
             w.start_code(0x00)
             w.uint(f % 1024, 10)
-            w.uint(1, 3)
+            w.uint(2 if is_p else 1, 3)
             w.uint(0xFFFF, 16)
+            if is_p:
+                w.uint(0, 1)  # full_pel_forward_vector
+                w.uint(forward_f_code, 3)
             w.uint(0, 1)
             for row in range(len(mbs) // mb_cols):
                 w.start_code(0x01 + row)
                 w.uint(quantizer_scale, 5)
                 w.uint(0, 1)
                 preds = [128, 128, 128]  # Y, Cb, Cr DC predictors
+                pmv = [0, 0]             # forward motion predictor
+                inc = 1
                 for col in range(mb_cols):
                     mb = mbs[row * mb_cols + col]
-                    if len(mb) != 6 or any(len(b) != 64 for b in mb):
-                        raise ValueError("macroblock must be 6 x 64 dct_zz")
-                    w.bits(MBA[1])
-                    w.bits("1")  # intra, no quant override
-                    for bi, blk in enumerate(mb):
-                        comp = 0 if bi < 4 else bi - 3
-                        table = DC_LUMA if comp == 0 else DC_CHROMA
-                        diff = blk[0] - preds[comp]
-                        preds[comp] = blk[0]
-                        w.bits(_dc_bits(diff, table))
-                        run = 0
-                        for level in blk[1:]:
-                            if level == 0:
-                                run += 1
-                                continue
-                            if ac_short and (run, abs(level)) in AC_SHORT:
-                                w.bits(AC_SHORT[(run, abs(level))])
-                                w.bits("1" if level < 0 else "0")
-                            else:
-                                w.bits(ESC)
-                                w.uint(run, 6)
-                                if -127 <= level <= 127 and level != 0:
-                                    w.uint(level & 0xFF, 8)
-                                elif 128 <= level <= 255:
-                                    w.uint(0, 8)
-                                    w.uint(level, 8)
-                                elif -255 <= level <= -128:
-                                    w.uint(0x80, 8)
-                                    w.uint(level + 256, 8)
-                                else:
-                                    raise ValueError(
-                                        f"escape level {level} out of range"
-                                    )
-                            run = 0
-                        w.bits(EOB)
+                    if is_p and mb == "skip":
+                        if col in (0, mb_cols - 1):
+                            raise ValueError(
+                                "first/last macroblock of a slice "
+                                "cannot be skipped"
+                            )
+                        inc += 1
+                        pmv = [0, 0]
+                        preds = [128, 128, 128]
+                        continue
+                    if inc > 15:
+                        raise NotImplementedError(
+                            "MBA increments above 15 (escape) are not "
+                            "emitted by this encoder"
+                        )
+                    w.bits(MBA[inc])
+                    inc = 1
+                    if not is_p:
+                        w.bits("1")  # intra, no quant override
+                        _intra_mb_blocks(mb, preds)
+                        continue
+                    if isinstance(mb, dict) and "intra" in mb:
+                        w.bits("00011")
+                        _intra_mb_blocks(mb["intra"], preds)
+                        pmv = [0, 0]
+                        continue
+                    mv = mb.get("mv")
+                    blocks = mb["blocks"]
+                    if len(blocks) != 6:
+                        raise ValueError("P macroblock needs 6 block slots")
+                    cbp = sum(
+                        1 << (5 - bi)
+                        for bi, b in enumerate(blocks)
+                        if b is not None and any(b)
+                    )
+                    if mv is not None and cbp:
+                        w.bits("1")
+                    elif mv is not None:
+                        w.bits("001")
+                    elif cbp:
+                        w.bits("01")
+                    else:
+                        raise ValueError(
+                            "P macroblock with neither motion nor coded "
+                            "blocks must be 'skip'"
+                        )
+                    if mv is not None:
+                        w.bits(_motion_bits(mv[0] - pmv[0], f_fwd))
+                        w.bits(_motion_bits(mv[1] - pmv[1], f_fwd))
+                        pmv = list(mv)
+                    else:
+                        pmv = [0, 0]
+                    if cbp:
+                        w.bits(CBP_ENC[cbp])
+                        for bi, b in enumerate(blocks):
+                            if cbp & (1 << (5 - bi)):
+                                _noninter_block(b)
+                    preds = [128, 128, 128]
         w.start_code(0xB7)  # sequence_end
         return bytes(w.buf)
 
@@ -1984,9 +2160,13 @@ def _build_mpeg1_codec():
             return r.read(8) - 256
         return first - 256 if first & 0x80 else first
 
-    def _decode_block(r, comp, preds, qscale):
+    def _decode_block(r, comp, preds, qscale, quant=None):
         """One intra block -> 64 reconstructed (dequantized) coeffs in
-        raster order, spec 2.4.4.1 reconstruction with oddification."""
+        raster order, spec 2.4.4.1 reconstruction with oddification.
+        ``quant``: raster-order intra matrix (default table; streams
+        that load a custom one pass ``video['quant']``)."""
+        if quant is None:
+            quant = INTRA_Q
         table = DC_LUMA_DEC if comp == 0 else DC_CHROMA_DEC
         size = r.vlc(table, max_len=9, what="dct_dc_size")
         diff = 0
@@ -2020,7 +2200,7 @@ def _build_mpeg1_codec():
             pos = ZZ[i]
             # spec '/' truncates toward ZERO (python // floors, so
             # compute on the magnitude and restore the sign)
-            mag = (2 * abs(level) * qscale * INTRA_Q[pos]) // 16
+            mag = (2 * abs(level) * qscale * quant[pos]) // 16
             val = mag if level >= 0 else -mag
             if val and val % 2 == 0:
                 val -= 1 if val > 0 else -1  # oddification
@@ -2052,9 +2232,14 @@ def _build_mpeg1_codec():
             quant = raster
         else:
             quant = list(INTRA_Q)
-        if r.read(1):  # load_non_intra (unused by intra decode)
-            for _ in range(64):
-                r.read(8)
+        if r.read(1):  # load_non_intra_quantizer_matrix
+            nquant = [r.read(8) for _ in range(64)]
+            raster = [0] * 64
+            for zi, q in enumerate(nquant):
+                raster[ZZ[zi]] = q
+            nquant = raster
+        else:
+            nquant = list(NONINTRA_Q)
         # byte-aligned picture start code split
         pictures = []
         pos = 4
@@ -2080,31 +2265,133 @@ def _build_mpeg1_codec():
             "n_frames": len(pictures),
             "pictures": pictures,
             "quant": quant,
+            "nquant": nquant,
         }
 
-    def mpeg1_frame_pixels(video, idx):
-        """Entropy-decode picture ``idx`` -> (width, height, 3, flat
-        RGB pixels) via dequant + IDCT + 4:2:0 nearest upsample + the
-        JFIF full-range YCbCr->RGB (see chroma note in the factory
-        docstring)."""
+    def _decode_noninter_block(r, qscale, nquant):
+        """One NON-intra block -> 64 reconstructed residual coeffs in
+        raster order (spec 2.4.4.2/2.4.4.3: (2*level + sign)*q*W/16
+        truncated toward zero, oddified, clamped).  Position 0 is an
+        ordinary run/level coefficient; the first coefficient may use
+        the '1s' special form (and EOB can never come first)."""
+        recon = [0] * 64
+        i = -1
+        first = True
+        while True:
+            if not first and r.nextbits(2) == 0b10:  # EOB
+                r.read(2)
+                break
+            if first and r.nextbits(1) == 1:
+                r.read(1)
+                run, level = 0, (-1 if r.read(1) else 1)
+            elif r.nextbits(6) == 0b000001:
+                r.read(6)
+                run = r.read(6)
+                level = _read_escape_level(r)
+            else:
+                run, level = r.vlc(AC_SHORT_DEC, max_len=7, what="dct_coeff")
+                if r.read(1):
+                    level = -level
+            i += run + 1
+            if i > 63:
+                raise ValueError("MPEG-1 AC run past block end")
+            pos = ZZ[i]
+            mag = ((2 * abs(level) + 1) * qscale * nquant[pos]) // 16
+            val = mag if level > 0 else -mag
+            if val and val % 2 == 0:
+                val -= 1 if val > 0 else -1  # oddification
+            recon[pos] = max(-2048, min(2047, val))
+            first = False
+        return recon
+
+    def _decode_motion(r, f, pred):
+        """motion_code VLC (+ motion_r) -> reconstructed vector
+        component via the spec 2.4.4.2 little/big wrap rule."""
+        code = r.vlc(MV_DEC, max_len=8, what="motion_code")
+        if code == 0:
+            return pred
+        if f > 1:
+            motion_r = r.read(f.bit_length() - 1)
+            complement = f - 1 - motion_r
+        else:
+            complement = 0
+        little = code * f
+        little = little - complement if little > 0 else little + complement
+        big = little - 32 * f if little > 0 else little + 32 * f
+        lo, hi = -16 * f, 16 * f - 1
+        nv = pred + little
+        if nv < lo or nv > hi:
+            nv = pred + big
+        return nv
+
+    def _half_trunc(v):
+        """Luma->chroma vector scaling: /2 truncated toward zero."""
+        return abs(v) // 2 * (1 if v >= 0 else -1)
+
+    def _mc_block(plane, row0, col0, size, mvx, mvy):
+        """Forward prediction block: ``size``x``size`` samples at
+        (row0, col0) displaced by the half-pel vector (mvx, mvy);
+        half-pel positions average with MPEG-1 rounding (+1 >> 1)."""
+        ix, hx = mvx >> 1, mvx & 1   # floor + half flag (negatives OK)
+        iy, hy = mvy >> 1, mvy & 1
+        r0, c0 = row0 + iy, col0 + ix
+        hgt, wid = plane.shape
+        if r0 < 0 or c0 < 0 or r0 + size + hy > hgt or c0 + size + hx > wid:
+            raise ValueError("MPEG-1 motion vector points outside the frame")
+        sl = plane[r0:r0 + size + hy, c0:c0 + size + hx]
+        if hx and hy:
+            sl = (sl[:-1, :-1] + sl[:-1, 1:] + sl[1:, :-1] + sl[1:, 1:] + 2) >> 2
+        elif hx:
+            sl = (sl[:, :-1] + sl[:, 1:] + 1) >> 1
+        elif hy:
+            sl = (sl[:-1, :] + sl[1:, :] + 1) >> 1
+        return sl
+
+    def _picture_type(video, idx):
+        """Peek picture_coding_type (13 header bits) — no entropy
+        decode, so anchor search stays byte-walking-cheap."""
+        r = _BitReader(video["pictures"][idx][4:])
+        r.read(10)
+        return r.read(3)
+
+    def _decode_picture(video, idx, ref):
+        """Entropy-decode picture ``idx`` -> (Y, Cb, Cr) int64 planes
+        padded to the macroblock grid.  ``ref`` is the previous
+        anchor's planes (required for P-pictures; skipped and
+        uncovered macroblocks inherit it by starting from a copy)."""
         w, h = video["width"], video["height"]
-        quant = video["quant"]
+        quant, nquant = video["quant"], video["nquant"]
         pic = video["pictures"][idx]
         r = _BitReader(pic[4:])
         r.read(10)  # temporal_reference
         ptype = r.read(3)
-        if ptype != 1:
+        if ptype not in (1, 2):
             raise NotImplementedError(
-                f"MPEG-1 picture_coding_type {ptype}: only I-pictures "
-                "(intra) are in scope"
+                f"MPEG-1 picture_coding_type {ptype}: only I- and "
+                "P-pictures are in scope (B-pictures remain the "
+                "declared boundary)"
             )
         r.read(16)  # vbv_delay
+        full_pel, f_fwd = 0, 1
+        if ptype == 2:
+            if ref is None:
+                raise ValueError("P-picture without a decoded reference")
+            full_pel = r.read(1)
+            f_code = r.read(3)
+            if f_code == 0:
+                raise ValueError("forbidden forward_f_code 0")
+            f_fwd = 1 << (f_code - 1)
         while r.read(1):  # extra_information_picture
             r.read(8)
         mb_cols, mb_rows = (w + 15) // 16, (h + 15) // 16
-        yp = _np.zeros((mb_rows * 16, mb_cols * 16), dtype=_np.int64)
-        cbp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
-        crp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
+        if ptype == 2:
+            yp = ref[0].copy()
+            cbp = ref[1].copy()
+            crp = ref[2].copy()
+        else:
+            yp = _np.zeros((mb_rows * 16, mb_cols * 16), dtype=_np.int64)
+            cbp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
+            crp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
         # walk byte-aligned slice start codes inside the picture bytes
         pos = 4
         while True:
@@ -2120,43 +2407,122 @@ def _build_mpeg1_codec():
             while sr.read(1):  # extra_bit_slice
                 sr.read(8)
             preds = [128, 128, 128]
+            pmv = [0, 0]
             mb_addr = row * mb_cols - 1
             while True:
                 nb = sr.nextbits(23)
-                if nb == 0 or nb is None:
-                    break  # next start code / end of slice
-                inc = sr.vlc(MBA_DEC, max_len=11, what="mb_address")
-                if inc == "stuff":
-                    continue
-                if inc == "escape":
-                    raise NotImplementedError(
-                        "MPEG-1 mb_address escape (skipped macroblocks) "
-                        "cannot occur in an intra picture"
-                    )
-                if inc != 1:
+                if nb == 0:
+                    break  # next start code
+                if nb is None:
+                    # fewer than 23 bits left in the picture buffer: a
+                    # SHORT tail macroblock (a P MC-only MB is 12-17
+                    # bits) may still sit inside them — only break when
+                    # what remains is pure zero padding (r11 fix; the
+                    # intra-only fixtures never tripped this because
+                    # intra MBs exceed the lookahead)
+                    rem = 8 * len(sr.data) - sr.pos
+                    if rem <= 0 or sr.nextbits(rem) == 0:
+                        break
+                extra = 0
+                while True:
+                    inc = sr.vlc(MBA_DEC, max_len=11, what="mb_address")
+                    if inc == "stuff":
+                        continue
+                    if inc == "escape":
+                        if ptype == 1:
+                            raise NotImplementedError(
+                                "MPEG-1 mb_address escape (skipped "
+                                "macroblocks) cannot occur in an intra "
+                                "picture"
+                            )
+                        extra += 33
+                        continue
+                    break
+                inc += extra
+                if ptype == 1 and inc != 1:
                     raise NotImplementedError(
                         "MPEG-1 skipped macroblocks are not legal in "
                         f"I-pictures (increment {inc})"
                     )
                 mb_addr += inc
-                # macroblock_type, I-picture table B-2a
-                if sr.read(1):
-                    pass  # '1' = intra
-                elif sr.read(1):
-                    qscale = sr.read(5)  # '01' = intra + quant
-                else:
-                    raise ValueError("invalid I-picture macroblock_type")
                 my, mx = divmod(mb_addr, mb_cols)
-                blocks = [
-                    _decode_block(sr, 0 if bi < 4 else bi - 3, preds, qscale)
-                    for bi in range(6)
-                ]
-                samples = (
-                    IDCT_M @ _np.asarray(blocks, dtype=_np.float64).reshape(
-                        -1, 8, 8
-                    ) @ IDCT_M.T
-                )
-                samples = _np.clip(_np.rint(samples), 0, 255).astype(_np.int64)
+                if ptype == 1:
+                    # macroblock_type, I-picture table B-2a
+                    if sr.read(1):
+                        pass  # '1' = intra
+                    elif sr.read(1):
+                        qscale = sr.read(5)  # '01' = intra + quant
+                    else:
+                        raise ValueError("invalid I-picture macroblock_type")
+                    intra = True
+                    mvx = mvy = 0
+                    cbp_bits = 0
+                else:
+                    if inc > 1:  # skipped MBs reset BOTH predictors
+                        preds = [128, 128, 128]
+                        pmv = [0, 0]
+                    q_f, mf, patt, intra = sr.vlc(
+                        P_MBTYPE_DEC, max_len=6, what="macroblock_type(P)"
+                    )
+                    if q_f:
+                        qscale = sr.read(5)
+                    if mf:
+                        mvx = _decode_motion(sr, f_fwd, pmv[0])
+                        mvy = _decode_motion(sr, f_fwd, pmv[1])
+                        pmv = [mvx, mvy]
+                    else:
+                        pmv = [0, 0]
+                        mvx = mvy = 0
+                    cbp_bits = (
+                        sr.vlc(CBP_DEC, max_len=9, what="coded_block_pattern")
+                        if patt
+                        else 0
+                    )
+                if intra:
+                    blocks = [
+                        _decode_block(
+                            sr, 0 if bi < 4 else bi - 3, preds, qscale, quant
+                        )
+                        for bi in range(6)
+                    ]
+                    samples = (
+                        IDCT_M
+                        @ _np.asarray(blocks, dtype=_np.float64).reshape(
+                            -1, 8, 8
+                        )
+                        @ IDCT_M.T
+                    )
+                    samples = _np.clip(_np.rint(samples), 0, 255).astype(
+                        _np.int64
+                    )
+                    if ptype == 2:
+                        pmv = [0, 0]  # intra MBs reset the MV predictor
+                else:
+                    preds = [128, 128, 128]  # non-intra resets DC preds
+                    vx = mvx << 1 if full_pel else mvx
+                    vy = mvy << 1 if full_pel else mvy
+                    pred_y = _mc_block(ref[0], my * 16, mx * 16, 16, vx, vy)
+                    cvx, cvy = _half_trunc(vx), _half_trunc(vy)
+                    pred_cb = _mc_block(ref[1], my * 8, mx * 8, 8, cvx, cvy)
+                    pred_cr = _mc_block(ref[2], my * 8, mx * 8, 8, cvx, cvy)
+                    parts = [
+                        pred_y[0:8, 0:8].copy(), pred_y[0:8, 8:16].copy(),
+                        pred_y[8:16, 0:8].copy(), pred_y[8:16, 8:16].copy(),
+                        pred_cb.copy(), pred_cr.copy(),
+                    ]
+                    for bi in range(6):
+                        if not (cbp_bits & (1 << (5 - bi))):
+                            continue
+                        res = _decode_noninter_block(sr, qscale, nquant)
+                        spat = _np.rint(
+                            IDCT_M
+                            @ _np.asarray(res, dtype=_np.float64).reshape(8, 8)
+                            @ IDCT_M.T
+                        ).astype(_np.int64)
+                        parts[bi] = parts[bi] + spat
+                    samples = [
+                        _np.clip(p, 0, 255).astype(_np.int64) for p in parts
+                    ]
                 for bi in range(4):
                     by, bx = divmod(bi, 2)
                     yp[
@@ -2166,6 +2532,31 @@ def _build_mpeg1_codec():
                 cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = samples[4]
                 crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = samples[5]
             pos = s + 4
+        return yp, cbp, crp
+
+    def mpeg1_frame_pixels(video, idx):
+        """Decode sampled picture ``idx`` -> (width, height, 3, flat
+        RGB pixels).  P-pictures are forward-predicted, so the decode
+        walks from the nearest PRECEDING I-picture anchor (a 13-bit
+        header peek per picture — no entropy work) and decodes the
+        anchor-to-sample prefix; unsampled pictures AFTER the sample
+        point are never touched.  That is the real MPEG cost model:
+        sparse sampling costs one GOP prefix per sample, not the whole
+        stream.  RGB via dequant + IDCT (+ motion compensation for P)
+        + 4:2:0 nearest upsample + the JFIF full-range YCbCr->RGB (see
+        chroma note in the factory docstring)."""
+        w, h = video["width"], video["height"]
+        start = idx
+        while start >= 0 and _picture_type(video, start) != 1:
+            start -= 1
+        if start < 0:
+            raise ValueError(
+                "no I-picture anchor at or before the sampled frame"
+            )
+        planes = None
+        for k in range(start, idx + 1):
+            planes = _decode_picture(video, k, planes)
+        yp, cbp, crp = planes
         yv = yp[:h, :w].astype(_np.float64)
         cb = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(_np.float64)
         cr = crp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(_np.float64)
@@ -2177,6 +2568,14 @@ def _build_mpeg1_codec():
         )
         return w, h, 3, rgb.reshape(-1).tolist()
 
+    # table introspection for the transcription-hygiene tests
+    # (prefix-freeness / completeness of B-2b, B-3, B-4)
+    encode_mpeg1.tables = {
+        "MV_ENC": MV_ENC,
+        "CBP_ENC": CBP_ENC,
+        "P_MBTYPE_DEC": P_MBTYPE_DEC,
+        "MBA": MBA,
+    }
     return encode_mpeg1, parse_mpeg1, mpeg1_frame_pixels
 
 
@@ -2707,7 +3106,8 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     is self-contained for worker shipping.
     """
     if modality not in ("image", "png", "gif", "audio", "jpeg",
-                        "jpeg_progressive", "video", "y4m", "mpeg1"):
+                        "jpeg_progressive", "video", "y4m", "mpeg1",
+                        "mpeg1p"):
         raise ValueError(f"unknown modality {modality!r}")
 
     _encode_jpeg = (
@@ -2724,7 +3124,9 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     _encode_avi = _build_avi_codec()[0] if modality == "video" else None
     _encode_gif = _build_gif_codec()[0] if modality == "gif" else None
     _encode_y4m = _build_y4m_codec()[0] if modality == "y4m" else None
-    _encode_mpeg1 = _build_mpeg1_codec()[0] if modality == "mpeg1" else None
+    _encode_mpeg1 = (
+        _build_mpeg1_codec()[0] if modality in ("mpeg1", "mpeg1p") else None
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -2894,6 +3296,63 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 frames.append([mb])
             return _encode_mpeg1(16, 16, 3, frames)
 
+        def _mpeg1p(i):
+            # 48x16 (three macroblocks, one slice) at 25 fps with
+            # 2 + i%4 pictures in GOP period 3: I, then two P-pictures
+            # that together drive EVERY forward-prediction path —
+            # explicit motion vectors (+16 and -32 half-pel through the
+            # f_code=4 differential machinery), a skipped macroblock,
+            # an MC-only macroblock, coded-no-MC with a non-intra DC
+            # residual, MC+coded with a HALF-PEL (-0.5 px) vector, an
+            # intra macroblock inside a P picture (DC-predictor reset),
+            # and the PMV reset rules between them.  Luma is striped in
+            # 8-px constant columns so every prediction/residual lands
+            # on the closed form the oracle restates; chroma stays
+            # neutral (uncoded in P, prediction copies 128).
+            #   anchor g, stripe k: S_k = (i + 11g + 37k) % 200
+            #   f%3==0 (I):  stripes [S0..S5]
+            #   f%3==1 (P):  MB0 mv +8px -> (S1,S2); MB1 skip ->
+            #                (S2,S3); MB2 mv -16px -> (S2,S3)
+            #   f%3==2 (P):  MB0 '01' residual +2 -> (S1+2,S2+2);
+            #                MB1 intra (G,H); MB2 '1' mv -0.5px +
+            #                residual +4 over P1's (S3|S2,S2|S3) seam
+            n_frames = 2 + i % 4
+            pics = []
+            for f in range(n_frames):
+                g, m = divmod(f, 3)
+                S = [(i + 11 * g + 37 * k) % 200 for k in range(6)]
+                if m == 0:
+                    mbs = []
+                    for mbi in range(3):
+                        a, b = S[2 * mbi], S[2 * mbi + 1]
+                        mbs.append(
+                            [[a] + [0] * 63, [b] + [0] * 63,
+                             [a] + [0] * 63, [b] + [0] * 63,
+                             [128] + [0] * 63, [128] + [0] * 63]
+                        )
+                    pics.append(mbs)
+                elif m == 1:
+                    pics.append({"type": "P", "mbs": [
+                        {"mv": (16, 0), "blocks": [None] * 6},
+                        "skip",
+                        {"mv": (-32, 0), "blocks": [None] * 6},
+                    ]})
+                else:
+                    G = (i + 11 * g + 91) % 200
+                    H = (i + 11 * g + 113) % 200
+                    res1 = [1] + [0] * 63  # (2*1+1)*5*16/16=15 -> +2/px
+                    res3 = [3] + [0] * 63  # (2*3+1)*5*16/16=35 -> +4/px
+                    pics.append({"type": "P", "mbs": [
+                        {"mv": None,
+                         "blocks": [res1, res1, res1, res1, None, None]},
+                        {"intra": [[G] + [0] * 63, [H] + [0] * 63,
+                                   [G] + [0] * 63, [H] + [0] * 63,
+                                   [128] + [0] * 63, [128] + [0] * 63]},
+                        {"mv": (-1, 0),
+                         "blocks": [res3, res3, res3, res3, None, None]},
+                    ]})
+            return _encode_mpeg1(48, 16, 3, pics, quantizer_scale=5)
+
         build = {
             "image": _ppm,
             "png": _png,
@@ -2904,6 +3363,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             "video": _avi,
             "y4m": _y4m,
             "mpeg1": _mpeg1,
+            "mpeg1p": _mpeg1p,
         }[modality]
         for pdf in batches:
             ids = pdf["__id"]
