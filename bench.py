@@ -27,7 +27,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      the local payload filename; default = max existing BENCH_r*.json
      round + 1), BENCH_SCAN=0 disables the scan section,
      BENCH_SCAN_FACTOR (default 100), BENCH_SCAN_REPEATS (default
-     max(BENCH_REPEATS, 7)), BENCH_SCAN_DIR.
+     max(BENCH_REPEATS, 7)), BENCH_SCAN_DIR, BENCH_MERGE=0 disables the
+     best-of-runs merge into an existing same-round payload (VERDICT
+     r10 item 4; see merge_best_of_runs).
 """
 
 from __future__ import annotations
@@ -359,6 +361,72 @@ def detect_regressions(
     return names, detail
 
 
+def merge_best_of_runs(
+    per_query: dict[str, float],
+    stds: dict[str, float],
+    bests: dict[str, float],
+    scan: dict | None,
+    names: list[str],
+    local_path: Path,
+    sf: float,
+    cpus: int,
+) -> tuple[dict | None, int, list[float]]:
+    """Best-of-runs payload protocol (VERDICT r10 item 4): the round
+    protocol runs the full suite >= 4 times; committing the LAST run
+    made the payload one host-noise sample, which r10's four same-day
+    runs (44.9-49.6 s, disjoint flag sets each run) showed manufactures
+    tripwire flags and accumulates pins.  Instead, each run merges into
+    ``BENCH_local_r{N}.json``: per query, the (mean, std, best) triple
+    from whichever same-round run recorded the LOWER best; the scan
+    section from whichever run measured the higher median throughput.
+    Merging is per-query-best selection across same-protocol runs —
+    the same estimator the tripwire already uses WITHIN a run.
+
+    Only queries in THIS run's name list merge (a restricted
+    BENCH_QUERIES rerun can't resurrect stale entries), and only when
+    sf/cpus match.  BENCH_MERGE=0 disables (solo re-measures should
+    also set BENCH_ROUND=99 as before).  Mutates the three dicts in
+    place; returns (merged scan, runs_merged, run_suite_means)."""
+    run_mean = round(sum(per_query.values()), 4)
+    if os.environ.get("BENCH_MERGE", "1") == "0" or not local_path.exists():
+        return scan, 1, [run_mean]
+    try:
+        old = json.loads(local_path.read_text())
+    except (OSError, ValueError):
+        return scan, 1, [run_mean]
+    if old.get("sf") != sf or old.get("cpus") != cpus:
+        return scan, 1, [run_mean]
+    old_best = old.get("best") or {}
+    old_mean = old.get("queries") or {}
+    old_std = old.get("stds") or {}
+    for name in names:
+        ob = old_best.get(name)
+        if (
+            isinstance(ob, (int, float))
+            and name in bests
+            and ob < bests[name]
+            and name in old_mean
+        ):
+            bests[name] = ob
+            per_query[name] = old_mean[name]
+            stds[name] = old_std.get(name, 0.0)
+    old_scan = old.get("scan")
+    if old_scan and old_scan.get("rows_per_sec_per_core"):
+        old_rate = statistics.median(
+            old_scan["rows_per_sec_per_core"].values()
+        )
+        new_rate = (
+            statistics.median(scan["rows_per_sec_per_core"].values())
+            if scan and scan.get("rows_per_sec_per_core")
+            else 0.0
+        )
+        if old_rate > new_rate:
+            scan = old_scan
+    runs = int(old.get("merged_runs", 1)) + 1
+    means = list(old.get("run_suite_means", [old.get("value")])) + [run_mean]
+    return scan, runs, [m for m in means if isinstance(m, (int, float))]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -387,6 +455,12 @@ def main() -> None:
         bests[name] = round(r["best"], 4)
 
     round_no = next_round()
+    local_path = Path(__file__).resolve().parent / f"BENCH_local_r{round_no:02d}.json"
+    # fold in prior same-round runs BEFORE the tripwire: the committed
+    # payload and the flags are computed from the best-of-runs merge
+    scan, merged_runs, run_suite_means = merge_best_of_runs(
+        per_query, stds, bests, scan, names, local_path, sf, int(cpus)
+    )
     # same-run host-drift anchor: current scan rows/s/core (measured in
     # its own clean JVM before the suite ran) vs the MEDIAN prior
     # round's — identical code both sides, so any ratio > 1 is the
@@ -423,6 +497,10 @@ def main() -> None:
         # the measured same-run host-speed ratio the tripwire references
         # were scaled by (1.0 = no relief; capped at MAX_DRIFT_RELIEF)
         host_drift=round(min(max(host_drift, 1.0), MAX_DRIFT_RELIEF), 3),
+        # best-of-runs bookkeeping: how many same-round full-suite runs
+        # merged into this payload, and each run's own suite mean
+        merged_runs=merged_runs,
+        run_suite_means=run_suite_means,
     )
     if scan is not None:
         full["scan"] = scan
@@ -437,7 +515,6 @@ def main() -> None:
         headline["scan_rows"] = scan["rows"]
         headline["scan_best_sec"] = scan["query_best_sec"]
 
-    local_path = Path(__file__).resolve().parent / f"BENCH_local_r{round_no:02d}.json"
     local_path.write_text(json.dumps(full, indent=2) + "\n")
     print(f"full payload -> {local_path.name}", file=sys.stderr)
     # compact headline LAST on stdout — must fit the driver's tail buffer

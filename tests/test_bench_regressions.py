@@ -143,3 +143,61 @@ def test_prior_scan_rate_anchor_reads_history():
             rates.append(float(r))
     if len(rates) >= 3 and max(rates) > min(rates):
         assert rate < max(rates)
+
+
+def test_merge_best_of_runs_picks_per_query_best(tmp_path):
+    """VERDICT r10 item 4: the committed payload is the per-query BEST
+    across the round's full-suite runs — each query keeps the
+    (mean, std, best) triple of the run with the lower best; the scan
+    section follows the faster run; restricted reruns cannot resurrect
+    queries outside the current name list; sf/cpus mismatches and
+    BENCH_MERGE=0 skip the merge."""
+    import json
+
+    path = tmp_path / "BENCH_local_r99.json"
+    old = {
+        "sf": 0.1,
+        "cpus": 32,
+        "value": 10.0,
+        "queries": {"q1": 2.0, "q2": 3.0, "stale": 5.0},
+        "stds": {"q1": 0.1, "q2": 0.2, "stale": 0.3},
+        "best": {"q1": 1.8, "q2": 2.9, "stale": 4.5},
+        "scan": {"rows_per_sec_per_core": {"a": 100.0, "b": 200.0}},
+        "merged_runs": 2,
+        "run_suite_means": [10.5, 10.0],
+    }
+    path.write_text(json.dumps(old))
+
+    per_query = {"q1": 2.5, "q2": 2.4}
+    stds = {"q1": 0.3, "q2": 0.1}
+    bests = {"q1": 2.3, "q2": 2.2}   # q1 worse than old, q2 better
+    scan = {"rows_per_sec_per_core": {"a": 90.0, "b": 150.0}}  # slower
+    merged_scan, runs, means = bench.merge_best_of_runs(
+        per_query, stds, bests, scan, ["q1", "q2"], path, 0.1, 32
+    )
+    assert bests == {"q1": 1.8, "q2": 2.2}       # per-query best wins
+    assert per_query == {"q1": 2.0, "q2": 2.4}   # triple follows the best
+    assert stds == {"q1": 0.1, "q2": 0.1}
+    assert "stale" not in per_query              # not resurrected
+    assert merged_scan is old["scan"] or merged_scan == old["scan"]  # faster
+    assert runs == 3
+    assert means == [10.5, 10.0, 4.9]
+
+    # sf mismatch -> no merge
+    pq2 = {"q1": 9.0}
+    _, runs2, _ = bench.merge_best_of_runs(
+        pq2, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.01, 32
+    )
+    assert runs2 == 1 and pq2 == {"q1": 9.0}
+
+    # BENCH_MERGE=0 -> no merge
+    import os
+    os.environ["BENCH_MERGE"] = "0"
+    try:
+        pq3 = {"q1": 9.0}
+        _, runs3, _ = bench.merge_best_of_runs(
+            pq3, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.1, 32
+        )
+        assert runs3 == 1 and pq3 == {"q1": 9.0}
+    finally:
+        del os.environ["BENCH_MERGE"]
