@@ -81,19 +81,30 @@ def test_nanos_invariant_is_set_by_factory(spark):
 
 
 def test_ordered_names_changed_code_first():
-    """The pure ordering rule: never-verified entries lead in
-    registration order; verified entries whose implementation changed
-    since their verification round come before merely-stale ones; both
-    verified groups are stalest-first."""
+    """The pure ordering rule (r11 form): never-verified entries lead
+    in registration order; entries whose green row hit the
+    MUST_REVERIFY_AGE trust bound come next regardless of change
+    status (VERDICT r10 item 1 — the changed tier starved them for
+    five rounds); then changed-implementation entries; then the
+    merely-stale; every verified group stalest-first."""
     from nyc_taxi_data_clickhouse_spark.suite import _ordered_names
 
     order = ["a", "b", "c", "d", "e", "f"]
     verified = {"b": 3, "c": 1, "d": 5, "f": 2}
     changed = lambda name, rnd: name in {"d", "f"}  # noqa: E731
     got = _ordered_names(order, verified, changed)
-    # a, e never verified (registration order); f(2) & d(5) changed,
-    # stalest first; c(1) & b(3) merely stale, stalest first
-    assert got == ["a", "e", "f", "d", "c", "b"]
+    # a, e never verified (registration order); c(1) is 4 rounds old
+    # vs latest=5 -> MUST-re-verify tier, ahead of the changed tier
+    # even though it did not change; f(2) & d(5) changed, stalest
+    # first; b(3) merely stale
+    assert got == ["a", "e", "c", "f", "d", "b"]
+
+    # a changed entry that ALSO hits the bound sorts in the must tier
+    verified2 = {"b": 3, "c": 1, "d": 5, "f": 1}
+    got2 = _ordered_names(order, verified2, changed)
+    # c(1, unchanged) and f(1, changed) both at the bound: stalest
+    # first then registration order; d(5) changed; b(3) stale
+    assert got2 == ["a", "e", "c", "f", "d", "b"]
 
 
 def test_ordered_names_no_changes_degrades_to_staleness():
@@ -117,22 +128,27 @@ def test_registry_ordering_uses_git_changed_files():
         registry,
     )
 
+    from nyc_taxi_data_clickhouse_spark.suite import MUST_REVERIFY_AGE
+
     verified = _driver_verified_rounds()
     reg = registry()
     names = list(reg)
     # every name is present exactly once, whatever the order
     assert sorted(names) == sorted(set(names))
-    changed_files = _files_changed_since_round(max(verified.values()))
+    latest = max(verified.values(), default=0)
+    changed_files = _files_changed_since_round(latest)
     assert isinstance(changed_files, frozenset)
-    # invariant: within the verified tail, no unchanged entry of a
-    # strictly staler round may precede a changed entry... (the sort is
-    # total, so it suffices to check group monotonicity)
+    # invariant (r11 rule): never-verified < must-re-verify (at the
+    # trust bound) < changed < merely-stale (the sort is total, so it
+    # suffices to check group monotonicity)
     def group(n):
         if n not in verified:
             return 0
+        if latest - verified[n] >= MUST_REVERIFY_AGE:
+            return 1
         rel = _entry_module_relpath(reg[n])
         chg = rel is not None and rel in _files_changed_since_round(verified[n])
-        return 1 if chg else 2
+        return 2 if chg else 3
 
     groups = [group(n) for n in names]
     assert groups == sorted(groups)
