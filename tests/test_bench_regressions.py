@@ -72,12 +72,15 @@ def test_prior_best_reads_committed_rounds():
 
 
 def test_accepted_baseline_raises_reference_only():
-    """The round-7 accepted plateaus must lift the tripwire reference
-    for the two attributed drifts — and must never LOWER a reference
-    or apply before their acceptance round."""
+    """Accepted plateaus must lift the tripwire reference for the
+    standing attributed FEATURE pins (r11 dropped the five drift pins
+    after the best-of-runs payload cleared them) — and must never
+    LOWER a reference or apply before their acceptance round."""
     best = bench.prior_best_per_query(current_round=99)
-    assert best["term_cooccurrence"] == 1.81  # raised from the 1.3312 record
-    assert best["mad_outliers"] == 2.5
+    assert best["pii_scrub_documents"] == 1.15  # raised from the 4-pattern era
+    assert best["url_canonical_dedup"] == 0.65  # raised from the 1-arm era
+    # the dropped drift pins no longer lift anything: raw history rules
+    assert best["term_cooccurrence"] < 1.81
     # before the acceptance round the raw history rules
     pre = bench.prior_best_per_query(current_round=5)
     assert pre["term_cooccurrence"] < 1.81
