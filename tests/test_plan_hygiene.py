@@ -168,3 +168,23 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+# ---------------------------------------------------------------------------
+# Map-only invariant for the media decode entries (r11): synthesize ->
+# pack -> decode must plan as one shuffle-free pipeline — payload bytes
+# never leave their partition.  Any Exchange here means media started
+# shuffling, which is the scale property these operators exist to avoid.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("entry", [
+    "multimodal_mpeg1_iframe",
+    "multimodal_mpeg1_pframe",
+    "multimodal_video_frames",
+    "multimodal_y4m_video",
+])
+def test_media_decode_plans_are_shuffle_free(spark, entry):
+    df = suite.registry()[entry].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "MapInPandas" in plan, plan[:1500]
