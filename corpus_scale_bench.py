@@ -91,6 +91,11 @@ OPS = {
     # map-only curation (r10): the expected curve is exactly linear —
     # any super-linearity would mean the scrub stopped being map-only
     "pii_scrub_documents": "verbatim",
+    # GOP-anchored inter-frame decode (r11): media is synthesized from
+    # doc_ids, so verbatim replication (fresh unique ids) scales the
+    # stream count; map-only mapInPandas, expected exactly linear —
+    # the GOP prefix walk is per-stream work, independent of corpus size
+    "multimodal_mpeg1_pframe": "verbatim",
 }
 
 

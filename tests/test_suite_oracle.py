@@ -175,3 +175,36 @@ def test_cumulative_driver_coverage_complete():
         f"{len(uncovered)} registry entries have never been driver-"
         f"verified AND are not scheduled in the next window: {uncovered[:8]}"
     )
+
+
+def test_no_shorthand_whitespace_class_in_paired_regexes():
+    """Contract lint (ADVICE r10): Java's \\s includes \\x0B, RE2's
+    (DuckDB's) does not — every paired Spark/SQL regex must spell the
+    class out as [ \\t\\n\\x0B\\f\\r].  This scans all oracle SQL for a
+    surviving shorthand \\s inside regex-taking functions, and the
+    package source for Spark-side r\"...\\s...\" regexes, so the
+    divergence can never be reintroduced by a new entry.  (\\d and \\w
+    agree between the engines in the ASCII subset the fixtures use;
+    only \\s differs.)"""
+    import re
+    from pathlib import Path
+
+    from nyc_taxi_data_clickhouse_spark import suite
+
+    offenders = []
+    for name, spec in suite.registry().items():
+        if spec.oracle and re.search(
+            r"(regexp_\w+|string_split_regex)\([^;]*?\\s", spec.oracle
+        ):
+            offenders.append(f"oracle:{name}")
+    pkg = Path(suite.__file__).resolve().parent
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        # Spark-side regex literals: raw strings fed to F.split /
+        # F.regexp_* — flag any \s shorthand inside them
+        for m in re.finditer(
+            r"F\.(?:split|regexp_replace|regexp_extract\w*)\([^)]*r\"[^\"]*\\s",
+            src,
+        ):
+            offenders.append(f"{p.name}:{m.group(0)[:60]}")
+    assert not offenders, offenders[:10]
