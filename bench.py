@@ -382,11 +382,15 @@ def merge_best_of_runs(
     Merging is per-query-best selection across same-protocol runs —
     the same estimator the tripwire already uses WITHIN a run.
 
-    Only queries in THIS run's name list merge (a restricted
-    BENCH_QUERIES rerun can't resurrect stale entries), and only when
-    sf/cpus match.  BENCH_MERGE=0 disables (solo re-measures should
-    also set BENCH_ROUND=99 as before).  Mutates the three dicts in
-    place; returns (merged scan, runs_merged, run_suite_means)."""
+    Queries in THIS run's name list take the per-run best; queries the
+    existing payload has but this run did NOT execute are CARRIED OVER
+    unchanged — a restricted BENCH_QUERIES rerun refines its subset
+    without destroying the rest of the round's full-suite payload (and
+    its subset sum is excluded from run_suite_means, which tracks
+    full-coverage runs only).  Merging needs matching sf/cpus.
+    BENCH_MERGE=0 disables (solo re-measures should also set
+    BENCH_ROUND=99 as before).  Mutates the three dicts in place;
+    returns (merged scan, runs_merged, run_suite_means)."""
     run_mean = round(sum(per_query.values()), 4)
     if os.environ.get("BENCH_MERGE", "1") == "0" or not local_path.exists():
         return scan, 1, [run_mean]
@@ -410,6 +414,13 @@ def merge_best_of_runs(
             bests[name] = ob
             per_query[name] = old_mean[name]
             stds[name] = old_std.get(name, 0.0)
+    carried = False
+    for name, om in old_mean.items():
+        if name not in per_query and name in old_best:
+            per_query[name] = om
+            stds[name] = old_std.get(name, 0.0)
+            bests[name] = old_best[name]
+            carried = True
     old_scan = old.get("scan")
     if old_scan and old_scan.get("rows_per_sec_per_core"):
         old_rate = statistics.median(
@@ -423,7 +434,9 @@ def merge_best_of_runs(
         if old_rate > new_rate:
             scan = old_scan
     runs = int(old.get("merged_runs", 1)) + 1
-    means = list(old.get("run_suite_means", [old.get("value")])) + [run_mean]
+    means = list(old.get("run_suite_means", [old.get("value")]))
+    if not carried:  # subset reruns don't contribute a comparable mean
+        means.append(run_mean)
     return scan, runs, [m for m in means if isinstance(m, (int, float))]
 
 

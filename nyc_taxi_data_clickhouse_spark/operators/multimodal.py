@@ -2138,6 +2138,19 @@ def _build_mpeg1_codec():
                             "blocks must be 'skip'"
                         )
                     if mv is not None:
+                        # the decoder's wrap rule forces any recon
+                        # outside [-16f, 16f-1] to the 'big' branch —
+                        # an out-of-range ABSOLUTE vector would encode
+                        # without complaint and silently decode to a
+                        # different vector, so reject it here
+                        for comp in mv:
+                            if not -16 * f_fwd <= comp <= 16 * f_fwd - 1:
+                                raise ValueError(
+                                    f"motion vector component {comp} "
+                                    f"outside the f_code={forward_f_code}"
+                                    f" range [{-16 * f_fwd}, "
+                                    f"{16 * f_fwd - 1}]"
+                                )
                         w.bits(_motion_bits(mv[0] - pmv[0], f_fwd))
                         w.bits(_motion_bits(mv[1] - pmv[1], f_fwd))
                         pmv = list(mv)
@@ -2534,7 +2547,7 @@ def _build_mpeg1_codec():
             pos = s + 4
         return yp, cbp, crp
 
-    def mpeg1_frame_pixels(video, idx):
+    def mpeg1_frame_pixels(video, idx, _cache=None):
         """Decode sampled picture ``idx`` -> (width, height, 3, flat
         RGB pixels).  P-pictures are forward-predicted, so the decode
         walks from the nearest PRECEDING I-picture anchor (a 13-bit
@@ -2542,7 +2555,16 @@ def _build_mpeg1_codec():
         anchor-to-sample prefix; unsampled pictures AFTER the sample
         point are never touched.  That is the real MPEG cost model:
         sparse sampling costs one GOP prefix per sample, not the whole
-        stream.  RGB via dequant + IDCT (+ motion compensation for P)
+        stream.
+
+        ``_cache``: optional per-stream dict memoizing the last decoded
+        (idx, planes) pair, so DENSE ascending sampling (the sampler's
+        common case) decodes each picture ONCE instead of re-walking
+        the GOP prefix per sample — linear, not quadratic in GOP
+        length.  Pure memoization of the same sequential decode: used
+        only when the cached picture lies between the sample's anchor
+        and the sample, so results are bit-identical with or without
+        it.  RGB via dequant + IDCT (+ motion compensation for P)
         + 4:2:0 nearest upsample + the JFIF full-range YCbCr->RGB (see
         chroma note in the factory docstring)."""
         w, h = video["width"], video["height"]
@@ -2553,9 +2575,17 @@ def _build_mpeg1_codec():
             raise ValueError(
                 "no I-picture anchor at or before the sampled frame"
             )
-        planes = None
-        for k in range(start, idx + 1):
+        lo, planes = start, None
+        if (
+            _cache is not None
+            and _cache.get("idx") is not None
+            and start <= _cache["idx"] <= idx
+        ):
+            lo, planes = _cache["idx"] + 1, _cache["planes"]
+        for k in range(lo, idx + 1):
             planes = _decode_picture(video, k, planes)
+        if _cache is not None:
+            _cache["idx"], _cache["planes"] = idx, planes
         yp, cbp, crp = planes
         yv = yp[:h, :w].astype(_np.float64)
         cb = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(_np.float64)
@@ -2637,7 +2667,13 @@ def decode_video_frames(
                     frame = lambda v, i: y4m_pixels(v, i)  # noqa: E731
                 elif payload.startswith(b"\x00\x00\x01\xb3"):
                     video = from_mpeg1(payload)
-                    frame = lambda v, i: mpeg1_pixels(v, i)  # noqa: E731
+                    # per-stream plane cache: the ts loop below samples
+                    # ascending, so inter-frame streams decode each
+                    # picture once (see mpeg1_frame_pixels _cache note)
+                    gop_cache: dict = {}
+                    frame = (  # noqa: E731
+                        lambda v, i, c=gop_cache: mpeg1_pixels(v, i, _cache=c)
+                    )
                 else:
                     video = from_avi(payload)
                     frame = lambda v, i: parse_jpeg(  # noqa: E731

@@ -111,6 +111,9 @@ def main() -> None:
         widths = {}
         failed: dict[str, dict] = {}
         for i in range(repeats):
+            if failed:
+                break  # the JVM is unusable after a failure — don't
+                # retry remaining repeats/variants against a dead session
             for variant in variants:
                 derived_log.clear()
                 partitioning.sized_partitions_for_rows = (
@@ -171,6 +174,12 @@ def main() -> None:
             if variant in failed:
                 arm[variant] = failed[variant]
                 continue
+            if variant not in metrics:
+                # never reached: another variant failed first and the
+                # session died before this one's turn — record that
+                # explicitly instead of KeyError-ing the summary
+                arm[variant] = {"outcome": "not_attempted_after_failure"}
+                continue
             d = metrics[variant]
             arm[variant] = {
                 "wall_best_sec": round(min(walls[variant]), 2),
@@ -205,11 +214,13 @@ def main() -> None:
             r = arm.get(variant)
             if r is None:
                 continue
-            if r.get("outcome") == "failed":
-                print(
-                    f"| {e} | {variant} | FAILED @ "
-                    f"{r['wall_sec_at_failure']}s | - | - | - | - |"
+            if "wall_best_sec" not in r:
+                status = (
+                    f"FAILED @ {r['wall_sec_at_failure']}s"
+                    if r.get("outcome") == "failed"
+                    else r.get("outcome", "?")
                 )
+                print(f"| {e} | {variant} | {status} | - | - | - | - |")
                 continue
             w = r.get("round_widths", "")
             print(

@@ -152,9 +152,11 @@ def test_merge_best_of_runs_picks_per_query_best(tmp_path):
     """VERDICT r10 item 4: the committed payload is the per-query BEST
     across the round's full-suite runs — each query keeps the
     (mean, std, best) triple of the run with the lower best; the scan
-    section follows the faster run; restricted reruns cannot resurrect
-    queries outside the current name list; sf/cpus mismatches and
-    BENCH_MERGE=0 skip the merge."""
+    section follows the faster run; queries the payload has but this
+    run did not execute are carried over UNCHANGED (a restricted
+    BENCH_QUERIES rerun refines its subset without destroying the full
+    payload), and such subset runs don't contribute a suite mean;
+    sf/cpus mismatches and BENCH_MERGE=0 skip the merge."""
     import json
 
     path = tmp_path / "BENCH_local_r99.json"
@@ -178,13 +180,14 @@ def test_merge_best_of_runs_picks_per_query_best(tmp_path):
     merged_scan, runs, means = bench.merge_best_of_runs(
         per_query, stds, bests, scan, ["q1", "q2"], path, 0.1, 32
     )
-    assert bests == {"q1": 1.8, "q2": 2.2}       # per-query best wins
-    assert per_query == {"q1": 2.0, "q2": 2.4}   # triple follows the best
-    assert stds == {"q1": 0.1, "q2": 0.1}
-    assert "stale" not in per_query              # not resurrected
+    # per-query best wins; the un-executed query is carried unchanged
+    assert bests == {"q1": 1.8, "q2": 2.2, "stale": 4.5}
+    assert per_query == {"q1": 2.0, "q2": 2.4, "stale": 5.0}
+    assert stds == {"q1": 0.1, "q2": 0.1, "stale": 0.3}
     assert merged_scan is old["scan"] or merged_scan == old["scan"]  # faster
     assert runs == 3
-    assert means == [10.5, 10.0, 4.9]
+    # this run carried queries -> its subset sum is NOT a suite mean
+    assert means == [10.5, 10.0]
 
     # sf mismatch -> no merge
     pq2 = {"q1": 9.0}
