@@ -98,6 +98,10 @@ DEFAULT_QUERIES = [
     "token_budget_selection",
     "quality_percentile_by_domain",
     "multimodal_mpeg1_iframe",
+    # VERDICT r11 item 1: the inter-frame decodes are the heaviest
+    # registry entries (~8 s warm at sf0.1) — keep them perf-tracked
+    # round-over-round instead of invisible to the tripwire
+    "multimodal_mpeg1_pframe",
 ]
 
 
@@ -370,7 +374,8 @@ def merge_best_of_runs(
     local_path: Path,
     sf: float,
     cpus: int,
-) -> tuple[dict | None, int, list[float]]:
+    known: set[str] | None = None,
+) -> tuple[dict | None, int, list[float], list[dict]]:
     """Best-of-runs payload protocol (VERDICT r10 item 4): the round
     protocol runs the full suite >= 4 times; committing the LAST run
     made the payload one host-noise sample, which r10's four same-day
@@ -387,19 +392,41 @@ def merge_best_of_runs(
     unchanged — a restricted BENCH_QUERIES rerun refines its subset
     without destroying the rest of the round's full-suite payload (and
     its subset sum is excluded from run_suite_means, which tracks
-    full-coverage runs only).  Merging needs matching sf/cpus.
-    BENCH_MERGE=0 disables (solo re-measures should also set
-    BENCH_ROUND=99 as before).  Mutates the three dicts in place;
-    returns (merged scan, runs_merged, run_suite_means)."""
+    full-coverage runs only).  Carried names are filtered against
+    ``known`` (default: the live suite registry, ADVICE r11 — a query
+    removed or renamed between runs must not persist in the payload
+    and feed detect_regressions forever).  ``merged_runs`` counts
+    FULL-COVERAGE runs only (ADVICE r11); subset refinements appear in
+    ``run_history`` with ``full_coverage: false``.  Merging needs
+    matching sf/cpus.  BENCH_MERGE=0 disables (solo re-measures should
+    also set BENCH_ROUND=99 as before).  Mutates the three dicts in
+    place; returns (merged scan, full_coverage_runs, run_suite_means,
+    run_history).  ``run_history`` keeps each contributing run's RAW
+    per-query table (VERDICT r11 item 4) so round-over-round deltas
+    can be computed same-protocol — best-of-merge vs best-of-merge
+    from the payload tops, OR single-run vs single-run from matching
+    history rows."""
     run_mean = round(sum(per_query.values()), 4)
+    if known is None:
+        known = set(suite.registry())
+    # raw snapshot of THIS run before any merge mutation: the
+    # same-protocol (single-run) record for run_history
+    raw_record = {
+        "suite_mean": run_mean,
+        "queries": dict(per_query),
+        "best": dict(bests),
+    }
     if os.environ.get("BENCH_MERGE", "1") == "0" or not local_path.exists():
-        return scan, 1, [run_mean]
+        raw_record["full_coverage"] = True
+        return scan, 1, [run_mean], [raw_record]
     try:
         old = json.loads(local_path.read_text())
     except (OSError, ValueError):
-        return scan, 1, [run_mean]
+        raw_record["full_coverage"] = True
+        return scan, 1, [run_mean], [raw_record]
     if old.get("sf") != sf or old.get("cpus") != cpus:
-        return scan, 1, [run_mean]
+        raw_record["full_coverage"] = True
+        return scan, 1, [run_mean], [raw_record]
     old_best = old.get("best") or {}
     old_mean = old.get("queries") or {}
     old_std = old.get("stds") or {}
@@ -416,7 +443,7 @@ def merge_best_of_runs(
             stds[name] = old_std.get(name, 0.0)
     carried = False
     for name, om in old_mean.items():
-        if name not in per_query and name in old_best:
+        if name not in per_query and name in old_best and name in known:
             per_query[name] = om
             stds[name] = old_std.get(name, 0.0)
             bests[name] = old_best[name]
@@ -433,11 +460,23 @@ def merge_best_of_runs(
         )
         if old_rate > new_rate:
             scan = old_scan
-    runs = int(old.get("merged_runs", 1)) + 1
+    # ADVICE r11: merged_runs = count of same-round FULL-COVERAGE runs
+    # (the docstring's meaning); a subset rerun refines the payload but
+    # doesn't inflate the full-coverage count
+    runs = int(old.get("merged_runs", 1)) + (0 if carried else 1)
     means = list(old.get("run_suite_means", [old.get("value")]))
     if not carried:  # subset reruns don't contribute a comparable mean
         means.append(run_mean)
-    return scan, runs, [m for m in means if isinstance(m, (int, float))]
+    raw_record["full_coverage"] = not carried
+    history = [
+        h for h in old.get("run_history", []) if isinstance(h, dict)
+    ] + [raw_record]
+    return (
+        scan,
+        runs,
+        [m for m in means if isinstance(m, (int, float))],
+        history,
+    )
 
 
 def main() -> None:
@@ -469,21 +508,27 @@ def main() -> None:
 
     round_no = next_round()
     local_path = Path(__file__).resolve().parent / f"BENCH_local_r{round_no:02d}.json"
-    # fold in prior same-round runs BEFORE the tripwire: the committed
-    # payload and the flags are computed from the best-of-runs merge
-    scan, merged_runs, run_suite_means = merge_best_of_runs(
-        per_query, stds, bests, scan, names, local_path, sf, int(cpus)
-    )
-    # same-run host-drift anchor: current scan rows/s/core (measured in
-    # its own clean JVM before the suite ran) vs the MEDIAN prior
-    # round's — identical code both sides, so any ratio > 1 is the
-    # host, not the plans (median anchor per ADVICE r9)
+    # same-run host-drift anchor, computed from THIS run's own scan
+    # BEFORE the merge can swap in a prior run's faster scan section
+    # (ADVICE r11: the tripwire's drift relief must come from the same
+    # JVM/host moment as the bests it scales — a query measured only in
+    # this slower-host run must not be judged with a faster run's
+    # anchor): current scan rows/s/core (measured in its own clean JVM
+    # before the suite ran) vs the MEDIAN prior round's — identical
+    # code both sides, so any ratio > 1 is the host, not the plans
+    # (median anchor per ADVICE r9)
     host_drift = 1.0
     if scan is not None and scan.get("rows_per_sec_per_core"):
         cur_rate = statistics.median(scan["rows_per_sec_per_core"].values())
         prior_rate = prior_scan_rate_anchor(round_no, sf=sf)
         if prior_rate and cur_rate > 0:
             host_drift = prior_rate / cur_rate
+    # fold in prior same-round runs BEFORE the tripwire: the committed
+    # payload and the flags are computed from the best-of-runs merge
+    # (the merged scan is payload-only; host_drift stays this-run's)
+    scan, merged_runs, run_suite_means, run_history = merge_best_of_runs(
+        per_query, stds, bests, scan, names, local_path, sf, int(cpus)
+    )
     # tripwire on per-query BEST repeats (burst-robust): a host-load
     # burst must swallow all N repeats to fake a regression, while a
     # real plan regression raises the best too
@@ -510,10 +555,14 @@ def main() -> None:
         # the measured same-run host-speed ratio the tripwire references
         # were scaled by (1.0 = no relief; capped at MAX_DRIFT_RELIEF)
         host_drift=round(min(max(host_drift, 1.0), MAX_DRIFT_RELIEF), 3),
-        # best-of-runs bookkeeping: how many same-round full-suite runs
-        # merged into this payload, and each run's own suite mean
+        # best-of-runs bookkeeping: how many same-round FULL-COVERAGE
+        # runs merged into this payload, each such run's own suite
+        # mean, and every contributing run's raw per-query table
+        # (VERDICT r11 item 4: keeps single-run-vs-single-run deltas
+        # computable alongside the best-of-merge)
         merged_runs=merged_runs,
         run_suite_means=run_suite_means,
+        run_history=run_history,
     )
     if scan is not None:
         full["scan"] = scan

@@ -177,32 +177,55 @@ def test_merge_best_of_runs_picks_per_query_best(tmp_path):
     stds = {"q1": 0.3, "q2": 0.1}
     bests = {"q1": 2.3, "q2": 2.2}   # q1 worse than old, q2 better
     scan = {"rows_per_sec_per_core": {"a": 90.0, "b": 150.0}}  # slower
-    merged_scan, runs, means = bench.merge_best_of_runs(
-        per_query, stds, bests, scan, ["q1", "q2"], path, 0.1, 32
+    merged_scan, runs, means, history = bench.merge_best_of_runs(
+        per_query, stds, bests, scan, ["q1", "q2"], path, 0.1, 32,
+        known={"q1", "q2", "stale"},
     )
     # per-query best wins; the un-executed query is carried unchanged
     assert bests == {"q1": 1.8, "q2": 2.2, "stale": 4.5}
     assert per_query == {"q1": 2.0, "q2": 2.4, "stale": 5.0}
     assert stds == {"q1": 0.1, "q2": 0.1, "stale": 0.3}
     assert merged_scan is old["scan"] or merged_scan == old["scan"]  # faster
-    assert runs == 3
-    # this run carried queries -> its subset sum is NOT a suite mean
+    # ADVICE r11: this run carried queries (subset rerun), so the
+    # FULL-COVERAGE run count does not increment...
+    assert runs == 2
+    # ...and its subset sum is NOT a suite mean
     assert means == [10.5, 10.0]
+    # VERDICT r11 item 4: the raw pre-merge single-run table is kept
+    assert history[-1]["queries"] == {"q1": 2.5, "q2": 2.4}
+    assert history[-1]["best"] == {"q1": 2.3, "q2": 2.2}
+    assert history[-1]["full_coverage"] is False
+
+    # ADVICE r11: carried names are filtered against the known set — a
+    # query renamed/removed between runs drops out of the payload
+    pq_f = {"q1": 2.5, "q2": 2.4}
+    bests_f = {"q1": 2.3, "q2": 2.2}
+    _, runs_f, means_f, _ = bench.merge_best_of_runs(
+        pq_f, {"q1": 0.3, "q2": 0.1}, bests_f, None,
+        ["q1", "q2"], path, 0.1, 32, known={"q1", "q2"},
+    )
+    assert "stale" not in pq_f and "stale" not in bests_f
+    # nothing carried -> full-coverage run: count and mean both grow
+    assert runs_f == 3
+    assert means_f == [10.5, 10.0, 4.9]
 
     # sf mismatch -> no merge
     pq2 = {"q1": 9.0}
-    _, runs2, _ = bench.merge_best_of_runs(
-        pq2, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.01, 32
+    _, runs2, _, hist2 = bench.merge_best_of_runs(
+        pq2, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.01, 32,
+        known={"q1"},
     )
     assert runs2 == 1 and pq2 == {"q1": 9.0}
+    assert len(hist2) == 1 and hist2[0]["full_coverage"] is True
 
     # BENCH_MERGE=0 -> no merge
     import os
     os.environ["BENCH_MERGE"] = "0"
     try:
         pq3 = {"q1": 9.0}
-        _, runs3, _ = bench.merge_best_of_runs(
-            pq3, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.1, 32
+        _, runs3, _, _ = bench.merge_best_of_runs(
+            pq3, {"q1": 0.0}, {"q1": 9.0}, None, ["q1"], path, 0.1, 32,
+            known={"q1"},
         )
         assert runs3 == 1 and pq3 == {"q1": 9.0}
     finally:
