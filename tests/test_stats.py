@@ -238,3 +238,57 @@ def test_all_null_group_yields_null_median_row(spark):
     )
     got = {r["grp"]: r["med"] for r in exact_group_median(df, "grp", "x").collect()}
     assert got == {0: None, 1: 5.0}
+
+
+def test_catalog_stats_path_is_lazy_and_decides_both_ways(spark, monkeypatch, tmp_path):
+    """VERDICT r11 item 7: when the optimized plan carries a CBO
+    row-count estimate (ANALYZE'd catalog table + spark.sql.cbo.enabled)
+    the default-mode gate decides from metadata alone — NO guard job,
+    NO persist — and still lands on the right side of the bound."""
+    import nyc_taxi_data_clickhouse_spark.operators.stats as stats_mod
+    from nyc_taxi_data_clickhouse_spark.operators.stats import (
+        _catalyst_group_count,
+        _group_table_hint,
+    )
+
+    saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS stats_lazy_t")
+    try:
+        spark.range(500).selectExpr("id % 7 AS grp", "CAST(id AS DOUBLE) AS x") \
+            .write.mode("overwrite").saveAsTable("stats_lazy_t")
+        spark.sql("ANALYZE TABLE stats_lazy_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = (
+            spark.table("stats_lazy_t")
+            .groupBy("grp")
+            .agg(F.count("x").alias("__n"))
+        )
+        est = _catalyst_group_count(stats)
+        assert est is not None and 1 <= est <= 500  # NDV-based estimate
+
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        hint = _group_table_hint(stats, None)  # default mode
+        after = len(tracker.getJobIdsForGroup(None))
+        assert after == before, "stats-available path must run NO job"
+        # 7 groups, bound 500k -> broadcast side of the gate
+        assert hint is F.broadcast
+
+        # same metadata, bound forced below the estimate -> shuffle side,
+        # still without running a job
+        monkeypatch.setattr(stats_mod, "BROADCAST_GROUP_BOUND", 1)
+        before = len(tracker.getJobIdsForGroup(None))
+        hint_above = _group_table_hint(stats, None)
+        after = len(tracker.getJobIdsForGroup(None))
+        assert after == before
+        assert hint_above is not F.broadcast
+
+        # un-analyzed in-memory stats have no estimate: the eager guard
+        # still protects the default path (and runs its job)
+        mem = spark.createDataFrame(
+            [(g, 1) for g in range(5)], ["grp", "__n"]
+        )
+        assert _catalyst_group_count(mem) is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_lazy_t")
+        spark.conf.set("spark.sql.cbo.enabled", saved)
