@@ -102,6 +102,8 @@ DEFAULT_QUERIES = [
     # registry entries (~8 s warm at sf0.1) — keep them perf-tracked
     # round-over-round instead of invisible to the tripwire
     "multimodal_mpeg1_pframe",
+    # round-12 B-picture decode: same codec tier, tracked from birth
+    "multimodal_mpeg1_bframe",
 ]
 
 

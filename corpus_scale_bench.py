@@ -96,6 +96,17 @@ OPS = {
     # stream count; map-only mapInPandas, expected exactly linear —
     # the GOP prefix walk is per-stream work, independent of corpus size
     "multimodal_mpeg1_pframe": "verbatim",
+    # bidirectional decode (r12): same shape as pframe — per-stream
+    # anchor-chain work, B-pictures decoded only when sampled
+    "multimodal_mpeg1_bframe": "verbatim",
+    # selection family (VERDICT r11 item 5): the histogram / per-
+    # (domain,bucket) CDF / per-domain rate paths must stay one-pass
+    # with tiny side tables — expected linear, zero spill.  Verbatim
+    # replication keeps the domain set fixed while docs-per-domain
+    # grows, the honest axis for per-domain aggregation cost.
+    "token_budget_selection": "verbatim",
+    "quality_percentile_by_domain": "verbatim",
+    "domain_mix_temperature": "verbatim",
 }
 
 

@@ -35,16 +35,23 @@ pure-stdlib parser can handle:
   4:2:0 nearest chroma upsample, JFIF YCbCr->RGB; C420*/C444/Cmono
   (see :func:`_build_y4m_codec`); sampled through the same
   :func:`decode_video_frames` surface as AVI.
-- **MPEG-1 video (intra-only)**: real entropy-coded video I-frame
-  decode — start-code walk, sequence/GOP/picture/slice headers,
-  macroblock + intra-DC VLCs, AC run/level with escape, MPEG-1 intra
-  dequant with oddification, IDCT (see :func:`_build_mpeg1_codec`);
-  sampled through :func:`decode_video_frames`, unsampled pictures
-  never entropy-decoded.  P/B (motion-compensated) pictures raise.
+- **MPEG-1 video (I + P + B)**: real entropy-coded video decode —
+  start-code walk, sequence/GOP/picture/slice headers, macroblock +
+  intra-DC VLCs, AC run/level with escape, MPEG-1 intra dequant with
+  oddification, IDCT; FORWARD MOTION COMPENSATION for P-pictures
+  (round 11: motion VLCs, f_code differential reconstruction,
+  half-pel interpolation, skipped/MC-only/coded-no-MC/intra-in-P
+  macroblocks) and BIDIRECTIONAL prediction for B-pictures (round 12:
+  table B-2c, independent forward/backward vector predictors,
+  interpolated (a+b+1)>>1 averaging, skip-repeats-previous-prediction
+  rule, decode-order streams mapped back to display order via
+  temporal_reference) — see :func:`_build_mpeg1_codec`; sampled
+  through :func:`decode_video_frames`, unsampled pictures never
+  entropy-decoded and unsampled B-pictures skipped outright (they are
+  never references).  D-pictures raise.
 
-Formats that need external codec libraries (inter-frame motion
-compensation: MP4/H.264/VP9, MPEG-1 P/B) are NOT decoded:
-``decode_media`` raises
+Formats that need external codec libraries (MP4/H.264/VP9) are NOT
+decoded: ``decode_media`` raises
 ``NotImplementedError`` for them unless ``fake=True``, which
 substitutes a deterministic hash-derived feature vector with the
 exact shape a real decoder would emit.
@@ -1833,6 +1840,31 @@ def _build_mpeg1_codec():
         "00001": (1, 1, 1, 0),
         "000001": (1, 0, 0, 1),
     }
+    #: macroblock_type, B-pictures (table B-2c):
+    #: bits -> (quant, motion_forward, motion_backward, pattern, intra)
+    B_MBTYPE_DEC = {
+        "10": (0, 1, 1, 0, 0),
+        "11": (0, 1, 1, 1, 0),
+        "010": (0, 0, 1, 0, 0),
+        "011": (0, 0, 1, 1, 0),
+        "0010": (0, 1, 0, 0, 0),
+        "0011": (0, 1, 0, 1, 0),
+        "00011": (0, 0, 0, 0, 1),
+        "00010": (1, 1, 1, 1, 0),
+        "000011": (1, 1, 0, 1, 0),
+        "000010": (1, 0, 1, 1, 0),
+        "000001": (1, 0, 0, 0, 1),
+    }
+    #: encoder side of B-2c for the non-quant, non-intra rows:
+    #: (has_forward, has_backward, has_cbp) -> bits
+    B_MBTYPE_ENC = {
+        (True, True, False): "10",
+        (True, True, True): "11",
+        (False, True, False): "010",
+        (False, True, True): "011",
+        (True, False, False): "0010",
+        (True, False, True): "0011",
+    }
     #: coded_block_pattern (table B-3), cbp value -> bits; bit 5 (32)
     #: is the first luma block, bit 0 (1) is Cr
     CBP_ENC = {
@@ -1894,6 +1926,14 @@ def _build_mpeg1_codec():
             self.pos = 0  # bit position
 
         def read(self, n):
+            # explicit exhaustion check (ADVICE r11): a truncated
+            # stream must fail with a diagnosable ValueError, not a
+            # raw IndexError from the byte lookup
+            if self.pos + n > 8 * len(self.data):
+                raise ValueError(
+                    "MPEG-1 bitstream exhausted mid-structure "
+                    "(truncated or corrupt stream)"
+                )
             v = 0
             for _ in range(n):
                 byte = self.data[self.pos >> 3]
@@ -1959,18 +1999,28 @@ def _build_mpeg1_codec():
         return bits
 
     def encode_mpeg1(width, height, picture_rate_code, frames,
-                     quantizer_scale=8, ac_short=False, forward_f_code=4):
-        """Assemble an MPEG-1 video elementary stream of I- and
-        (round 11) forward-predicted P-pictures.
+                     quantizer_scale=8, ac_short=False, forward_f_code=4,
+                     backward_f_code=4):
+        """Assemble an MPEG-1 video elementary stream of I-,
+        forward-predicted P- (round 11) and bidirectional B-pictures
+        (round 12).
 
-        ``frames``: list of pictures.  An I-picture is a list of
-        macroblocks in raster order; each macroblock is a list of SIX
-        64-entry quantized zigzag coefficient blocks (4 Y raster-order,
-        Cb, Cr).  ``dct_zz[0]`` is the absolute DC value (recon =
-        value*8); AC entries are the quantized levels the decoder will
-        dequantize with the default intra matrix at
-        ``quantizer_scale``.  A P-picture is a dict ``{"type": "P",
-        "mbs": [...]}`` whose macroblocks are each one of:
+        ``frames``: list of pictures in DISPLAY order; the encoder
+        performs the standard MPEG reordering itself (each anchor is
+        emitted before the B-pictures that display between it and the
+        previous anchor) and writes ``temporal_reference`` = display
+        index, so decoders reconstruct display order from the stream.
+        A trailing B (no following anchor) or a B before the first
+        anchor is rejected — such streams are undecodable.
+
+        An I-picture is a list of macroblocks in raster order; each
+        macroblock is a list of SIX 64-entry quantized zigzag
+        coefficient blocks (4 Y raster-order, Cb, Cr).  ``dct_zz[0]``
+        is the absolute DC value (recon = value*8); AC entries are the
+        quantized levels the decoder will dequantize with the default
+        intra matrix at ``quantizer_scale``.  A P-picture is a dict
+        ``{"type": "P", "mbs": [...]}`` whose macroblocks are each one
+        of:
 
         - ``"skip"`` — skipped macroblock (zero motion, no residual;
           illegal as the first or last macroblock of a slice);
@@ -1984,6 +2034,18 @@ def _build_mpeg1_codec():
           (position 0 is an ordinary run/level coefficient, no DC
           prediction), ``None``/all-zero meaning not-coded (the
           coded_block_pattern is derived).
+
+        A B-picture is ``{"type": "B", "mbs": [...]}`` whose
+        macroblocks are ``"skip"``, ``{"intra": [...]}`` or
+        ``{"fmv": (x, y) | None, "bmv": (x, y) | None, "blocks":
+        [...]}`` with at least one vector present — forward-only,
+        backward-only or interpolated per table B-2c; vectors are
+        ABSOLUTE half-pel and differenced against per-direction
+        predictors that persist across macroblocks (a missing
+        direction leaves its predictor UNCHANGED, unlike P's
+        reset-to-zero rule).  A skipped B macroblock repeats the
+        previous macroblock's prediction (spec 2.4.4.4), so it is
+        additionally illegal right after an intra macroblock.
 
         AC levels are written in ESCAPE form (always legal) by
         default, so the stream round-trips exactly; ``ac_short=True``
@@ -2067,20 +2129,74 @@ def _build_mpeg1_codec():
             w.bits(EOB)
 
         f_fwd = 1 << (forward_f_code - 1)
+        f_bwd = 1 << (backward_f_code - 1)
+
+        def _check_mv(mv, f, f_code, what):
+            # the decoder's wrap rule forces any recon outside
+            # [-16f, 16f-1] to the 'big' branch — an out-of-range
+            # ABSOLUTE vector would encode without complaint and
+            # silently decode to a different vector, so reject it here
+            for comp in mv:
+                if not -16 * f <= comp <= 16 * f - 1:
+                    raise ValueError(
+                        f"{what} motion vector component {comp} outside "
+                        f"the f_code={f_code} range "
+                        f"[{-16 * f}, {16 * f - 1}]"
+                    )
+
+        def _derive_cbp(blocks, what):
+            if len(blocks) != 6:
+                raise ValueError(f"{what} macroblock needs 6 block slots")
+            return sum(
+                1 << (5 - bi)
+                for bi, b in enumerate(blocks)
+                if b is not None and any(b)
+            )
+
+        # display order -> stream (decode) order: each anchor flushes
+        # the B-pictures that display before it; temporal_reference
+        # keeps the display index
+        stream = []
+        pending_b = []
+        saw_anchor = False
         for f, pic in enumerate(frames):
-            is_p = isinstance(pic, dict)
-            mbs = pic["mbs"] if is_p else pic
-            if is_p and pic.get("type") != "P":
+            ptype = "I" if not isinstance(pic, dict) else pic.get("type")
+            if ptype not in ("I", "P", "B"):
                 raise ValueError(f"unknown picture type {pic.get('type')!r}")
+            if ptype == "B":
+                if not saw_anchor:
+                    raise ValueError(
+                        "B-picture before the first anchor has no "
+                        "forward reference"
+                    )
+                pending_b.append((f, pic))
+            else:
+                saw_anchor = True
+                stream.append((f, pic))
+                stream.extend(pending_b)
+                pending_b = []
+        if pending_b:
+            raise ValueError(
+                "trailing B-picture(s) without a following anchor "
+                "cannot be decoded"
+            )
+
+        for f, pic in stream:
+            ptype = "I" if not isinstance(pic, dict) else pic["type"]
+            is_p, is_b = ptype == "P", ptype == "B"
+            mbs = pic["mbs"] if isinstance(pic, dict) else pic
             if len(mbs) % mb_cols:
                 raise ValueError("macroblock count not a multiple of mb_cols")
             w.start_code(0x00)
             w.uint(f % 1024, 10)
-            w.uint(2 if is_p else 1, 3)
+            w.uint({"I": 1, "P": 2, "B": 3}[ptype], 3)
             w.uint(0xFFFF, 16)
-            if is_p:
+            if is_p or is_b:
                 w.uint(0, 1)  # full_pel_forward_vector
                 w.uint(forward_f_code, 3)
+            if is_b:
+                w.uint(0, 1)  # full_pel_backward_vector
+                w.uint(backward_f_code, 3)
             w.uint(0, 1)
             for row in range(len(mbs) // mb_cols):
                 w.start_code(0x01 + row)
@@ -2088,17 +2204,26 @@ def _build_mpeg1_codec():
                 w.uint(0, 1)
                 preds = [128, 128, 128]  # Y, Cb, Cr DC predictors
                 pmv = [0, 0]             # forward motion predictor
+                pmvb = [0, 0]            # backward motion predictor (B)
+                prev_intra = False       # B-skip legality tracking
                 inc = 1
                 for col in range(mb_cols):
                     mb = mbs[row * mb_cols + col]
-                    if is_p and mb == "skip":
+                    if (is_p or is_b) and mb == "skip":
                         if col in (0, mb_cols - 1):
                             raise ValueError(
                                 "first/last macroblock of a slice "
                                 "cannot be skipped"
                             )
+                        if is_b and prev_intra:
+                            raise ValueError(
+                                "skipped B macroblock cannot follow an "
+                                "intra macroblock (it repeats the "
+                                "previous prediction)"
+                            )
                         inc += 1
-                        pmv = [0, 0]
+                        if is_p:
+                            pmv = [0, 0]  # P skip resets; B skip keeps
                         preds = [128, 128, 128]
                         continue
                     if inc > 15:
@@ -2108,24 +2233,51 @@ def _build_mpeg1_codec():
                         )
                     w.bits(MBA[inc])
                     inc = 1
-                    if not is_p:
+                    if not (is_p or is_b):
                         w.bits("1")  # intra, no quant override
                         _intra_mb_blocks(mb, preds)
                         continue
                     if isinstance(mb, dict) and "intra" in mb:
-                        w.bits("00011")
+                        w.bits("00011")  # same code in B-2b and B-2c
                         _intra_mb_blocks(mb["intra"], preds)
                         pmv = [0, 0]
+                        pmvb = [0, 0]
+                        prev_intra = True
+                        continue
+                    prev_intra = False
+                    if is_b:
+                        fmv, bmv = mb.get("fmv"), mb.get("bmv")
+                        blocks = mb["blocks"]
+                        cbp = _derive_cbp(blocks, "B")
+                        if fmv is None and bmv is None:
+                            raise ValueError(
+                                "B macroblock needs at least one motion "
+                                "vector (or 'skip'); table B-2c has no "
+                                "pattern-only entry"
+                            )
+                        w.bits(B_MBTYPE_ENC[
+                            (fmv is not None, bmv is not None, bool(cbp))
+                        ])
+                        if fmv is not None:
+                            _check_mv(fmv, f_fwd, forward_f_code, "forward")
+                            w.bits(_motion_bits(fmv[0] - pmv[0], f_fwd))
+                            w.bits(_motion_bits(fmv[1] - pmv[1], f_fwd))
+                            pmv = list(fmv)
+                        if bmv is not None:
+                            _check_mv(bmv, f_bwd, backward_f_code, "backward")
+                            w.bits(_motion_bits(bmv[0] - pmvb[0], f_bwd))
+                            w.bits(_motion_bits(bmv[1] - pmvb[1], f_bwd))
+                            pmvb = list(bmv)
+                        if cbp:
+                            w.bits(CBP_ENC[cbp])
+                            for bi, b in enumerate(blocks):
+                                if cbp & (1 << (5 - bi)):
+                                    _noninter_block(b)
+                        preds = [128, 128, 128]
                         continue
                     mv = mb.get("mv")
                     blocks = mb["blocks"]
-                    if len(blocks) != 6:
-                        raise ValueError("P macroblock needs 6 block slots")
-                    cbp = sum(
-                        1 << (5 - bi)
-                        for bi, b in enumerate(blocks)
-                        if b is not None and any(b)
-                    )
+                    cbp = _derive_cbp(blocks, "P")
                     if mv is not None and cbp:
                         w.bits("1")
                     elif mv is not None:
@@ -2138,19 +2290,7 @@ def _build_mpeg1_codec():
                             "blocks must be 'skip'"
                         )
                     if mv is not None:
-                        # the decoder's wrap rule forces any recon
-                        # outside [-16f, 16f-1] to the 'big' branch —
-                        # an out-of-range ABSOLUTE vector would encode
-                        # without complaint and silently decode to a
-                        # different vector, so reject it here
-                        for comp in mv:
-                            if not -16 * f_fwd <= comp <= 16 * f_fwd - 1:
-                                raise ValueError(
-                                    f"motion vector component {comp} "
-                                    f"outside the f_code={forward_f_code}"
-                                    f" range [{-16 * f_fwd}, "
-                                    f"{16 * f_fwd - 1}]"
-                                )
+                        _check_mv(mv, f_fwd, forward_f_code, "forward")
                         w.bits(_motion_bits(mv[0] - pmv[0], f_fwd))
                         w.bits(_motion_bits(mv[1] - pmv[1], f_fwd))
                         pmv = list(mv)
@@ -2360,40 +2500,62 @@ def _build_mpeg1_codec():
             sl = (sl[:-1, :] + sl[1:, :] + 1) >> 1
         return sl
 
-    def _picture_type(video, idx):
-        """Peek picture_coding_type (13 header bits) — no entropy
-        decode, so anchor search stays byte-walking-cheap."""
+    def _peek_header(video, idx):
+        """Peek (temporal_reference, picture_coding_type) — 13 header
+        bits, no entropy decode, so display-order mapping and anchor
+        search stay byte-walking-cheap."""
         r = _BitReader(video["pictures"][idx][4:])
-        r.read(10)
-        return r.read(3)
+        tr = r.read(10)
+        return tr, r.read(3)
 
-    def _decode_picture(video, idx, ref):
+    def _picture_type(video, idx):
+        return _peek_header(video, idx)[1]
+
+    def _decode_picture(video, idx, ref, bref=None):
         """Entropy-decode picture ``idx`` -> (Y, Cb, Cr) int64 planes
-        padded to the macroblock grid.  ``ref`` is the previous
-        anchor's planes (required for P-pictures; skipped and
-        uncovered macroblocks inherit it by starting from a copy)."""
+        padded to the macroblock grid.  ``ref`` is the FORWARD
+        reference (the previous anchor in decode order — required for
+        P- and B-pictures); ``bref`` is the BACKWARD reference (the
+        next anchor, required for B-pictures).  P-pictures start from
+        a copy of ``ref`` so skipped/uncovered macroblocks inherit it;
+        B-pictures cover every macroblock explicitly (coded or
+        skip-repeat of the previous prediction), so they start from
+        zeros."""
         w, h = video["width"], video["height"]
         quant, nquant = video["quant"], video["nquant"]
         pic = video["pictures"][idx]
         r = _BitReader(pic[4:])
         r.read(10)  # temporal_reference
         ptype = r.read(3)
-        if ptype not in (1, 2):
+        if ptype not in (1, 2, 3):
             raise NotImplementedError(
-                f"MPEG-1 picture_coding_type {ptype}: only I- and "
-                "P-pictures are in scope (B-pictures remain the "
-                "declared boundary)"
+                f"MPEG-1 picture_coding_type {ptype}: only I-, P- and "
+                "B-pictures are in scope (D-pictures and reserved "
+                "types are not)"
             )
         r.read(16)  # vbv_delay
-        full_pel, f_fwd = 0, 1
-        if ptype == 2:
+        full_pel_f = full_pel_b = 0
+        f_fwd = f_bwd = 1
+        if ptype in (2, 3):
             if ref is None:
-                raise ValueError("P-picture without a decoded reference")
-            full_pel = r.read(1)
+                raise ValueError(
+                    "P/B-picture without a decoded forward reference"
+                )
+            full_pel_f = r.read(1)
             f_code = r.read(3)
             if f_code == 0:
                 raise ValueError("forbidden forward_f_code 0")
             f_fwd = 1 << (f_code - 1)
+        if ptype == 3:
+            if bref is None:
+                raise ValueError(
+                    "B-picture without a decoded backward reference"
+                )
+            full_pel_b = r.read(1)
+            b_code = r.read(3)
+            if b_code == 0:
+                raise ValueError("forbidden backward_f_code 0")
+            f_bwd = 1 << (b_code - 1)
         while r.read(1):  # extra_information_picture
             r.read(8)
         mb_cols, mb_rows = (w + 15) // 16, (h + 15) // 16
@@ -2405,6 +2567,43 @@ def _build_mpeg1_codec():
             yp = _np.zeros((mb_rows * 16, mb_cols * 16), dtype=_np.int64)
             cbp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
             crp = _np.zeros((mb_rows * 8, mb_cols * 8), dtype=_np.int64)
+
+        def _pred_parts(use_f, use_b, vf, vb, my, mx):
+            """Motion-compensated prediction for one macroblock as six
+            int64 blocks [Y00, Y01, Y10, Y11, Cb, Cr].  Interpolated
+            (both directions) averages with the spec's ``//`` rounding
+            — (a + b + 1) >> 1 on the non-negative samples — per
+            2.4.4.4; vectors arrive already full-pel-scaled."""
+            out = None
+            for use, refp, (vx, vy) in (
+                (use_f, ref, vf), (use_b, bref, vb)
+            ):
+                if not use:
+                    continue
+                py = _mc_block(refp[0], my * 16, mx * 16, 16, vx, vy)
+                cvx, cvy = _half_trunc(vx), _half_trunc(vy)
+                pcb = _mc_block(refp[1], my * 8, mx * 8, 8, cvx, cvy)
+                pcr = _mc_block(refp[2], my * 8, mx * 8, 8, cvx, cvy)
+                cur = [
+                    py[0:8, 0:8], py[0:8, 8:16],
+                    py[8:16, 0:8], py[8:16, 8:16], pcb, pcr,
+                ]
+                if out is None:
+                    out = [c.copy() for c in cur]
+                else:
+                    out = [(a + b + 1) >> 1 for a, b in zip(out, cur)]
+            return out
+
+        def _store_mb(my, mx, blocks6):
+            for bi in range(4):
+                by, bx = divmod(bi, 2)
+                yp[
+                    my * 16 + by * 8 : my * 16 + by * 8 + 8,
+                    mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8,
+                ] = blocks6[bi]
+            cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blocks6[4]
+            crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blocks6[5]
+
         # walk byte-aligned slice start codes inside the picture bytes
         pos = 4
         while True:
@@ -2420,7 +2619,11 @@ def _build_mpeg1_codec():
             while sr.read(1):  # extra_bit_slice
                 sr.read(8)
             preds = [128, 128, 128]
-            pmv = [0, 0]
+            pmv = [0, 0]   # forward motion predictor
+            pmvb = [0, 0]  # backward motion predictor (B-pictures)
+            # previous non-intra B macroblock's prediction
+            # (use_f, use_b, vf, vb), repeated by skipped B MBs
+            last_pred = None
             mb_addr = row * mb_cols - 1
             while True:
                 nb = sr.nextbits(23)
@@ -2437,11 +2640,20 @@ def _build_mpeg1_codec():
                     if rem <= 0 or sr.nextbits(rem) == 0:
                         break
                 extra = 0
+                inc = None
                 while True:
-                    inc = sr.vlc(MBA_DEC, max_len=11, what="mb_address")
-                    if inc == "stuff":
+                    # re-check the tail before every MBA code (ADVICE
+                    # r11): stuffing may have consumed what the outer
+                    # lookahead saw, leaving only zero padding — that
+                    # tail must end the slice cleanly instead of
+                    # running the reader out of bits mid-VLC
+                    rem = 8 * len(sr.data) - sr.pos
+                    if rem <= 0 or (rem < 23 and sr.nextbits(rem) == 0):
+                        break
+                    got = sr.vlc(MBA_DEC, max_len=11, what="mb_address")
+                    if got == "stuff":
                         continue
-                    if inc == "escape":
+                    if got == "escape":
                         if ptype == 1:
                             raise NotImplementedError(
                                 "MPEG-1 mb_address escape (skipped "
@@ -2450,8 +2662,10 @@ def _build_mpeg1_codec():
                             )
                         extra += 33
                         continue
+                    inc = got + extra
                     break
-                inc += extra
+                if inc is None:
+                    break  # stuffing/padding tail: clean end-of-slice
                 if ptype == 1 and inc != 1:
                     raise NotImplementedError(
                         "MPEG-1 skipped macroblocks are not legal in "
@@ -2468,10 +2682,11 @@ def _build_mpeg1_codec():
                     else:
                         raise ValueError("invalid I-picture macroblock_type")
                     intra = True
-                    mvx = mvy = 0
+                    use_f = use_b = False
+                    vf = vb = (0, 0)
                     cbp_bits = 0
-                else:
-                    if inc > 1:  # skipped MBs reset BOTH predictors
+                elif ptype == 2:
+                    if inc > 1:  # skipped P MBs reset BOTH predictors
                         preds = [128, 128, 128]
                         pmv = [0, 0]
                     q_f, mf, patt, intra = sr.vlc(
@@ -2486,6 +2701,54 @@ def _build_mpeg1_codec():
                     else:
                         pmv = [0, 0]
                         mvx = mvy = 0
+                    use_f, use_b = not intra, False
+                    vf = (mvx << 1, mvy << 1) if full_pel_f else (mvx, mvy)
+                    vb = (0, 0)
+                    cbp_bits = (
+                        sr.vlc(CBP_DEC, max_len=9, what="coded_block_pattern")
+                        if patt
+                        else 0
+                    )
+                else:  # B-picture (table B-2c)
+                    if inc > 1:
+                        # skipped B MBs repeat the previous macroblock's
+                        # prediction at each skipped address (2.4.4.4);
+                        # DC predictors reset (they are non-intra MBs),
+                        # motion predictors stay UNCHANGED
+                        if last_pred is None:
+                            raise ValueError(
+                                "skipped B macroblock with no previous "
+                                "non-intra macroblock to repeat"
+                            )
+                        preds = [128, 128, 128]
+                        for a in range(mb_addr - inc + 1, mb_addr):
+                            sy, sx = divmod(a, mb_cols)
+                            _store_mb(
+                                sy, sx, _pred_parts(*last_pred, sy, sx)
+                            )
+                    q_f, mf, mbk, patt, intra = sr.vlc(
+                        B_MBTYPE_DEC, max_len=6, what="macroblock_type(B)"
+                    )
+                    if q_f:
+                        qscale = sr.read(5)
+                    # B vector predictor rule: a missing direction
+                    # leaves its predictor UNCHANGED (unlike P's
+                    # reset-to-zero) — only decoded vectors update it
+                    if mf:
+                        fvx = _decode_motion(sr, f_fwd, pmv[0])
+                        fvy = _decode_motion(sr, f_fwd, pmv[1])
+                        pmv = [fvx, fvy]
+                    else:
+                        fvx = fvy = 0  # unused: flag off
+                    if mbk:
+                        bvx = _decode_motion(sr, f_bwd, pmvb[0])
+                        bvy = _decode_motion(sr, f_bwd, pmvb[1])
+                        pmvb = [bvx, bvy]
+                    else:
+                        bvx = bvy = 0
+                    use_f, use_b = bool(mf), bool(mbk)
+                    vf = (fvx << 1, fvy << 1) if full_pel_f else (fvx, fvy)
+                    vb = (bvx << 1, bvy << 1) if full_pel_b else (bvx, bvy)
                     cbp_bits = (
                         sr.vlc(CBP_DEC, max_len=9, what="coded_block_pattern")
                         if patt
@@ -2508,21 +2771,15 @@ def _build_mpeg1_codec():
                     samples = _np.clip(_np.rint(samples), 0, 255).astype(
                         _np.int64
                     )
-                    if ptype == 2:
-                        pmv = [0, 0]  # intra MBs reset the MV predictor
+                    if ptype != 1:  # intra MBs reset ALL MV predictors
+                        pmv = [0, 0]
+                        pmvb = [0, 0]
+                        last_pred = None  # B skip after intra is illegal
                 else:
                     preds = [128, 128, 128]  # non-intra resets DC preds
-                    vx = mvx << 1 if full_pel else mvx
-                    vy = mvy << 1 if full_pel else mvy
-                    pred_y = _mc_block(ref[0], my * 16, mx * 16, 16, vx, vy)
-                    cvx, cvy = _half_trunc(vx), _half_trunc(vy)
-                    pred_cb = _mc_block(ref[1], my * 8, mx * 8, 8, cvx, cvy)
-                    pred_cr = _mc_block(ref[2], my * 8, mx * 8, 8, cvx, cvy)
-                    parts = [
-                        pred_y[0:8, 0:8].copy(), pred_y[0:8, 8:16].copy(),
-                        pred_y[8:16, 0:8].copy(), pred_y[8:16, 8:16].copy(),
-                        pred_cb.copy(), pred_cr.copy(),
-                    ]
+                    parts = _pred_parts(use_f, use_b, vf, vb, my, mx)
+                    if ptype == 3:
+                        last_pred = (use_f, use_b, vf, vb)
                     for bi in range(6):
                         if not (cbp_bits & (1 << (5 - bi))):
                             continue
@@ -2536,56 +2793,117 @@ def _build_mpeg1_codec():
                     samples = [
                         _np.clip(p, 0, 255).astype(_np.int64) for p in parts
                     ]
-                for bi in range(4):
-                    by, bx = divmod(bi, 2)
-                    yp[
-                        my * 16 + by * 8 : my * 16 + by * 8 + 8,
-                        mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8,
-                    ] = samples[bi]
-                cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = samples[4]
-                crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = samples[5]
+                _store_mb(my, mx, samples)
             pos = s + 4
         return yp, cbp, crp
 
-    def mpeg1_frame_pixels(video, idx, _cache=None):
-        """Decode sampled picture ``idx`` -> (width, height, 3, flat
-        RGB pixels).  P-pictures are forward-predicted, so the decode
-        walks from the nearest PRECEDING I-picture anchor (a 13-bit
-        header peek per picture — no entropy work) and decodes the
-        anchor-to-sample prefix; unsampled pictures AFTER the sample
-        point are never touched.  That is the real MPEG cost model:
-        sparse sampling costs one GOP prefix per sample, not the whole
-        stream.
-
-        ``_cache``: optional per-stream dict memoizing the last decoded
-        (idx, planes) pair, so DENSE ascending sampling (the sampler's
-        common case) decodes each picture ONCE instead of re-walking
-        the GOP prefix per sample — linear, not quadratic in GOP
-        length.  Pure memoization of the same sequential decode: used
-        only when the cached picture lies between the sample's anchor
-        and the sample, so results are bit-identical with or without
-        it.  RGB via dequant + IDCT (+ motion compensation for P)
-        + 4:2:0 nearest upsample + the JFIF full-range YCbCr->RGB (see
-        chroma note in the factory docstring)."""
-        w, h = video["width"], video["height"]
-        start = idx
-        while start >= 0 and _picture_type(video, start) != 1:
-            start -= 1
-        if start < 0:
-            raise ValueError(
-                "no I-picture anchor at or before the sampled frame"
-            )
-        lo, planes = start, None
-        if (
-            _cache is not None
-            and _cache.get("idx") is not None
-            and start <= _cache["idx"] <= idx
+    def _ensure_anchors(video, k, cache, order, pair=False):
+        """Advance ``cache`` so its backward slot holds the decoded
+        planes of anchor stream-index ``k``.  Cache keys: ``fwd`` /
+        ``bwd`` planes and ``idx_fwd`` / ``idx_bwd`` — the last TWO
+        decoded anchors, which is exactly the reference state a
+        standard MPEG decoder carries.  Anchors (I/P) are decoded in
+        stream order, incrementally from the cache when it lies behind
+        ``k``; B-pictures in the prefix are never references and are
+        NEVER entropy-decoded here.  ``pair=True`` (for B targets)
+        additionally guarantees the forward slot holds ``k``'s
+        predecessor anchor by restarting the chain from the I-picture
+        that dominates that predecessor (open-GOP reach-back)."""
+        if cache.get("idx_bwd") == k and (
+            not pair or cache.get("idx_fwd") is not None
         ):
-            lo, planes = _cache["idx"] + 1, _cache["planes"]
-        for k in range(lo, idx + 1):
-            planes = _decode_picture(video, k, planes)
-        if _cache is not None:
-            _cache["idx"], _cache["planes"] = idx, planes
+            return
+        if cache.get("idx_bwd") is not None and cache["idx_bwd"] < k:
+            start = cache["idx_bwd"] + 1
+        else:
+            cache.clear()
+            base = k
+            if pair:
+                prev = [i for i in range(k) if order[i][1] in (1, 2)]
+                if not prev:
+                    raise ValueError(
+                        "B-picture without two preceding reference "
+                        "pictures in the stream"
+                    )
+                base = prev[-1]
+            start = None
+            for i in range(base, -1, -1):
+                if order[i][1] == 1:
+                    start = i
+                    break
+            if start is None:
+                raise ValueError(
+                    "no I-picture anchor at or before the sampled frame"
+                )
+        for t in range(start, k + 1):
+            if order[t][1] == 3:
+                continue
+            planes = _decode_picture(video, t, cache.get("bwd"))
+            cache["fwd"] = cache.get("bwd")
+            cache["idx_fwd"] = cache.get("idx_bwd")
+            cache["bwd"] = planes
+            cache["idx_bwd"] = t
+
+    def mpeg1_frame_pixels(video, idx, _cache=None):
+        """Decode DISPLAY frame ``idx`` -> (width, height, 3, flat RGB
+        pixels).  The stream stores pictures in DECODE order (each
+        anchor before the B-pictures that display between it and the
+        previous anchor); ``temporal_reference`` header peeks (13 bits
+        per picture, no entropy work, memoized on the video dict) map
+        the display index to its stream position.  The decode then
+        walks the ANCHOR chain from the nearest dominating I-picture:
+        I/P pictures in the prefix are decoded, B-pictures are never
+        decoded unless they are the sample itself — B frames are not
+        references, so sampling skips them entirely.  That is the real
+        MPEG cost model: a sample costs its GOP's anchor prefix plus
+        (for a B sample) one B decode; pictures after the sample point
+        are never touched.
+
+        ``_cache``: optional per-stream dict holding the last two
+        decoded anchors, so DENSE ascending sampling (the sampler's
+        common case) decodes each anchor ONCE instead of re-walking
+        the GOP prefix per sample — linear, not quadratic in GOP
+        length.  Pure memoization of the same sequential anchor
+        decode: results are bit-identical with or without it.  RGB via
+        dequant + IDCT (+ forward/backward/interpolated motion
+        compensation) + 4:2:0 nearest upsample + the JFIF full-range
+        YCbCr->RGB (see chroma note in the factory docstring)."""
+        w, h = video["width"], video["height"]
+        order = video.get("_order")
+        if order is None:
+            order = [
+                _peek_header(video, k)
+                for k in range(len(video["pictures"]))
+            ]
+            video["_order"] = order
+        cands = [j for j, (tr, _t) in enumerate(order) if tr == idx % 1024]
+        if not cands:
+            raise ValueError(
+                f"no picture with temporal_reference {idx % 1024}"
+            )
+        # temporal_reference wraps mod 1024: the stream position nearest
+        # the display index disambiguates long streams
+        j = min(cands, key=lambda c: abs(c - idx))
+        if _cache is None:
+            _cache = {}
+        if order[j][1] == 3:
+            anchors = [i for i in range(j) if order[i][1] in (1, 2)]
+            if not anchors:
+                raise ValueError(
+                    "no I-picture anchor at or before the sampled frame"
+                )
+            _ensure_anchors(video, anchors[-1], _cache, order, pair=True)
+            if _cache.get("fwd") is None:
+                raise ValueError(
+                    "B-picture without two preceding reference "
+                    "pictures in the stream"
+                )
+            planes = _decode_picture(
+                video, j, _cache["fwd"], _cache["bwd"]
+            )
+        else:
+            _ensure_anchors(video, j, _cache, order)
+            planes = _cache["bwd"]
         yp, cbp, crp = planes
         yv = yp[:h, :w].astype(_np.float64)
         cb = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(_np.float64)
@@ -2604,6 +2922,8 @@ def _build_mpeg1_codec():
         "MV_ENC": MV_ENC,
         "CBP_ENC": CBP_ENC,
         "P_MBTYPE_DEC": P_MBTYPE_DEC,
+        "B_MBTYPE_DEC": B_MBTYPE_DEC,
+        "B_MBTYPE_ENC": B_MBTYPE_ENC,
         "MBA": MBA,
     }
     return encode_mpeg1, parse_mpeg1, mpeg1_frame_pixels
@@ -3143,7 +3463,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     """
     if modality not in ("image", "png", "gif", "audio", "jpeg",
                         "jpeg_progressive", "video", "y4m", "mpeg1",
-                        "mpeg1p"):
+                        "mpeg1p", "mpeg1b"):
         raise ValueError(f"unknown modality {modality!r}")
 
     _encode_jpeg = (
@@ -3161,7 +3481,9 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     _encode_gif = _build_gif_codec()[0] if modality == "gif" else None
     _encode_y4m = _build_y4m_codec()[0] if modality == "y4m" else None
     _encode_mpeg1 = (
-        _build_mpeg1_codec()[0] if modality in ("mpeg1", "mpeg1p") else None
+        _build_mpeg1_codec()[0]
+        if modality in ("mpeg1", "mpeg1p", "mpeg1b")
+        else None
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3389,6 +3711,64 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                     ]})
             return _encode_mpeg1(48, 16, 3, pics, quantizer_scale=5)
 
+        def _mpeg1b(i):
+            # 64x16 (four macroblocks, one slice) at 25 fps with
+            # 3 * (1 + i%2) pictures in DISPLAY order I,B,P per GOP
+            # (stream order I,P,B via the encoder's reordering — real
+            # MPEG decode order, mapped back through
+            # temporal_reference).  The B-picture drives EVERY
+            # bidirectional path: a forward-only macroblock (+8 px
+            # into the I anchor), an INTERPOLATED macroblock
+            # (fwd +8 px / bwd 0 with (a+b+1)>>1 averaging across two
+            # stripe pairs), a SKIPPED macroblock (repeats the
+            # interpolated prediction at the next address — the
+            # B-specific skip rule), and a backward-only macroblock
+            # with a HALF-PEL -0.5 px vector over the P-picture's
+            # residual seam plus a +2/px coded residual.  The P anchor
+            # reuses the r11 shapes (mv/skip/mv/coded-no-MC).  Luma is
+            # striped in 8-px constant columns, chroma neutral, so the
+            # whole chain lands exactly on the piecewise closed form
+            # the oracle restates:
+            #   anchor g = f//3, stripes S_k = (i + 11g + 37k) % 200
+            #   m=0 (I):  [S0..S7]
+            #   m=2 (P):  (S1,S2) (S2,S3) (S2,S3) (S6+2,S7+2)
+            #   m=1 (B):  (S1,S2) | interp((S3,S4),(S2,S3)) |
+            #             skip-interp((S5,S6),(S2,S3)) |
+            #             bwd -0.5px over (S6+2,S7+2) seam, +2/px
+            n_frames = 3 * (1 + i % 2)
+            res1 = [1] + [0] * 63  # (2*1+1)*5*16/16=15 -> +2/px
+            pics = []
+            for f in range(n_frames):
+                g, m = divmod(f, 3)
+                S = [(i + 11 * g + 37 * k) % 200 for k in range(8)]
+                if m == 0:
+                    mbs = []
+                    for mbi in range(4):
+                        a, b = S[2 * mbi], S[2 * mbi + 1]
+                        mbs.append(
+                            [[a] + [0] * 63, [b] + [0] * 63,
+                             [a] + [0] * 63, [b] + [0] * 63,
+                             [128] + [0] * 63, [128] + [0] * 63]
+                        )
+                    pics.append(mbs)
+                elif m == 1:
+                    pics.append({"type": "B", "mbs": [
+                        {"fmv": (16, 0), "bmv": None, "blocks": [None] * 6},
+                        {"fmv": (16, 0), "bmv": (0, 0),
+                         "blocks": [None] * 6},
+                        "skip",
+                        {"fmv": None, "bmv": (-1, 0),
+                         "blocks": [res1] * 4 + [None, None]},
+                    ]})
+                else:
+                    pics.append({"type": "P", "mbs": [
+                        {"mv": (16, 0), "blocks": [None] * 6},
+                        "skip",
+                        {"mv": (-32, 0), "blocks": [None] * 6},
+                        {"mv": None, "blocks": [res1] * 4 + [None, None]},
+                    ]})
+            return _encode_mpeg1(64, 16, 3, pics, quantizer_scale=5)
+
         build = {
             "image": _ppm,
             "png": _png,
@@ -3400,6 +3780,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             "y4m": _y4m,
             "mpeg1": _mpeg1,
             "mpeg1p": _mpeg1p,
+            "mpeg1b": _mpeg1b,
         }[modality]
         for pdf in batches:
             ids = pdf["__id"]

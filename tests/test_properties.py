@@ -796,9 +796,9 @@ def test_mpeg1_scope_bounds():
     # flip picture_coding_type I->B: the 3 bits after the 10-bit
     # temporal reference in the picture header; picture start is byte-
     # aligned so the type sits in the second byte after 00 00 01 00.
-    # (P-pictures are IN scope since round 11; B remains the declared
-    # boundary.)  A lone B picture has no I anchor, so the sampler
-    # rejects it before the B-specific decode is even reached.
+    # (P-pictures are IN scope since round 11, B since round 12.)  A
+    # lone B picture has no I anchor, so the sampler rejects it before
+    # the B-specific decode is even reached.
     p = bytearray(payload)
     start = payload.find(b"\x00\x00\x01\x00")
     # bits: [10 temporal][3 type] -> type occupies bits 2..4 of byte+5
@@ -806,7 +806,8 @@ def test_mpeg1_scope_bounds():
     v = dec(bytes(p))
     with pytest.raises(ValueError, match="no I-picture anchor"):
         pix(v, 0)
-    # an I,B stream reaches the B picture itself -> declared boundary
+    # an I,B stream reaches the B picture itself, which then lacks a
+    # SECOND (backward) reference — one anchor is not enough for B
     two = enc(16, 16, 3, [[mb], [mb]])
     starts = []
     off = 0
@@ -819,8 +820,14 @@ def test_mpeg1_scope_bounds():
     p2 = bytearray(two)
     p2[starts[1] + 5] = (p2[starts[1] + 5] & 0b11000111) | (0b011 << 3)
     v2 = dec(bytes(p2))
-    with pytest.raises(NotImplementedError, match="picture_coding_type 3"):
+    with pytest.raises(ValueError, match="two preceding reference"):
         pix(v2, 1)
+    # D-pictures (type 4) are the remaining declared type boundary
+    p3 = bytearray(two)
+    p3[starts[1] + 5] = (p3[starts[1] + 5] & 0b11000111) | (0b100 << 3)
+    v3 = dec(bytes(p3))
+    with pytest.raises(NotImplementedError, match="picture_coding_type 4"):
+        pix(v3, 1)
     with pytest.raises(ValueError, match="sequence header"):
         dec(b"RIFFnotmpeg")
     # a P-picture as the FIRST picture has no reference
@@ -829,6 +836,11 @@ def test_mpeg1_scope_bounds():
     ])
     with pytest.raises(ValueError, match="no I-picture anchor"):
         pix(dec(penc), 0)
+    # ADVICE r11: a TRUNCATED stream must fail with a diagnosable
+    # ValueError from the bit reader, never a raw IndexError
+    head = enc(16, 16, 3, [[mb]])
+    with pytest.raises(ValueError, match="exhausted|raster|truncated"):
+        pix(dec(head[: len(head) - 6]), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1013,3 +1025,276 @@ def test_mpeg1_halfpel_rounding_planted():
     assert int(y[0, 18]) == 31
     # col 24 seam: (31 + 40 + 1) >> 1 = 36
     assert int(y[0, 24]) == 36
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 B-pictures (VERDICT r11 item 8): bidirectional prediction vs
+# an independent numpy model, display/decode reordering, the B skip
+# rule, dual-predictor independence, table B-2c hygiene
+# ---------------------------------------------------------------------------
+
+
+def _mpeg1_b_expected_luma(fwd_y, bwd_y, mbs_spec, qscale=5):
+    """Independent numpy model of B-picture LUMA reconstruction,
+    written against the spec text (2.4.4.4): forward prediction from
+    the PREVIOUS anchor, backward from the NEXT anchor, interpolated =
+    (fwd + bwd) // 2 with // rounding half away from zero
+    ((a+b+1)>>1 on non-negative samples); skipped macroblocks repeat
+    the previous macroblock's prediction mode and vectors; DC-only
+    non-intra residuals as in the P model."""
+    import numpy as np
+
+    def mc(ref, x0, mvx):
+        ix, hx = mvx >> 1, mvx & 1
+        sl = ref[:, x0 + ix : x0 + ix + 16 + hx].astype(np.int64)
+        if hx:
+            sl = (sl[:, :-1] + sl[:, 1:] + 1) >> 1
+        return sl
+
+    cur = np.zeros_like(fwd_y)
+    last = None  # (fmv or None, bmv or None)
+    for mbi, mb in enumerate(mbs_spec):
+        x0 = mbi * 16
+        if mb == "skip":
+            fmv, bmv = last
+            pred = None
+            if fmv is not None:
+                pred = mc(fwd_y, x0, fmv[0])
+            if bmv is not None:
+                b = mc(bwd_y, x0, bmv[0])
+                pred = b if pred is None else (pred + b + 1) >> 1
+            cur[:, x0:x0 + 16] = pred
+            continue
+        if isinstance(mb, dict) and "intra" in mb:
+            a, b = mb["intra"][0][0], mb["intra"][1][0]
+            cur[:, x0:x0 + 8] = a
+            cur[:, x0 + 8:x0 + 16] = b
+            last = None
+            continue
+        fmv, bmv = mb.get("fmv"), mb.get("bmv")
+        pred = None
+        if fmv is not None:
+            pred = mc(fwd_y, x0, fmv[0])
+        if bmv is not None:
+            bb = mc(bwd_y, x0, bmv[0])
+            pred = bb if pred is None else (pred + bb + 1) >> 1
+        pred = pred.copy()
+        last = (fmv, bmv)
+        import numpy as np
+        for bi in range(4):
+            blk = mb["blocks"][bi]
+            if blk is None or not any(blk):
+                continue
+            lvl = blk[0]
+            mag = ((2 * abs(lvl) + 1) * qscale * 16) // 16
+            val = mag if lvl > 0 else -mag
+            if val and val % 2 == 0:
+                val -= 1 if val > 0 else -1
+            px = int(np.rint(val * 0.125))
+            by, bx = divmod(bi, 2)
+            pred[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] += px
+        cur[:, x0:x0 + 16] = np.clip(pred, 0, 255)
+    return cur
+
+
+def _stripe_i_mbs(stripes):
+    mbs = []
+    for mbi in range(len(stripes) // 2):
+        a, b = stripes[2 * mbi], stripes[2 * mbi + 1]
+        mbs.append([[a] + [0] * 63, [b] + [0] * 63,
+                    [a] + [0] * 63, [b] + [0] * 63,
+                    [128] + [0] * 63, [128] + [0] * 63])
+    return mbs
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_mpeg1_bframe_roundtrip_vs_independent_model(data):
+    """Display order I,B,P (stream order I,P,B): the B-picture's luma
+    must match an independent bidirectional reconstruction, for every
+    macroblock mode mix — forward/backward/interpolated, coded or not,
+    intra, and skip (which repeats the previous prediction)."""
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+    from hypothesis import assume
+
+    enc, dec, pix = _build_mpeg1_codec()
+    W = 64
+    i_str = [data.draw(st.integers(0, 199)) for _ in range(8)]
+    p_str = [data.draw(st.integers(0, 199)) for _ in range(8)]
+    i_mbs = _stripe_i_mbs(i_str)
+    # a simple all-intra P anchor: exact, position-independent content
+    p_pic = {"type": "P", "mbs": [
+        {"intra": mb} for mb in _stripe_i_mbs(p_str)
+    ]}
+    b_mbs = []
+    pmvf = pmvb = 0
+    last_intra = True
+    for mbi in range(4):
+        kinds = ["fwd", "bwd", "interp", "intra"]
+        if mbi in (1, 2) and not last_intra:
+            kinds.append("skip")
+        kind = data.draw(st.sampled_from(kinds))
+        if kind == "skip":
+            b_mbs.append("skip")
+            continue
+        if kind == "intra":
+            g = data.draw(st.integers(0, 199))
+            h = data.draw(st.integers(0, 199))
+            b_mbs.append({"intra": [[g] + [0] * 63, [h] + [0] * 63,
+                                    [g] + [0] * 63, [h] + [0] * 63,
+                                    [128] + [0] * 63, [128] + [0] * 63]})
+            pmvf = pmvb = 0
+            last_intra = True
+            continue
+        last_intra = False
+        x0 = mbi * 16
+        lo, hi = -2 * x0, 2 * (W - 16 - x0)
+        fmv = bmv = None
+        if kind in ("fwd", "interp"):
+            mvx = data.draw(st.integers(lo, hi))
+            assume(abs(mvx - pmvf) <= 56)
+            pmvf = mvx
+            fmv = (mvx, 0)
+        if kind in ("bwd", "interp"):
+            mvx = data.draw(st.integers(lo, hi))
+            assume(abs(mvx - pmvb) <= 56)
+            pmvb = mvx
+            bmv = (mvx, 0)
+        lvl = data.draw(st.sampled_from([0, -3, -1, 1, 2, 3]))
+        blocks = (
+            [[lvl] + [0] * 63] * 4 + [None, None] if lvl else [None] * 6
+        )
+        b_mbs.append({"fmv": fmv, "bmv": bmv, "blocks": blocks})
+    payload = enc(W, 16, 3, [i_mbs, {"type": "B", "mbs": b_mbs}, p_pic],
+                  quantizer_scale=5)
+    v = dec(payload)
+    # display index 1 is the B-picture
+    w, h, c, px = pix(v, 1)
+    got_y = np.array(px, dtype=np.int64).reshape(16, W, 3)[:, :, 1]
+    fwd_y = np.zeros((16, W), dtype=np.int64)
+    bwd_y = np.zeros((16, W), dtype=np.int64)
+    for k in range(8):
+        fwd_y[:, k * 8:(k + 1) * 8] = i_str[k]
+        bwd_y[:, k * 8:(k + 1) * 8] = p_str[k]
+    exp_y = _mpeg1_b_expected_luma(fwd_y, bwd_y, b_mbs)
+    assert np.array_equal(got_y, exp_y)
+    # the anchors themselves must be untouched by the B decode
+    w, h, c, px0 = pix(v, 0)
+    assert np.array_equal(
+        np.array(px0, dtype=np.int64).reshape(16, W, 3)[:, :, 1], fwd_y
+    )
+    w, h, c, px2 = pix(v, 2)
+    assert np.array_equal(
+        np.array(px2, dtype=np.int64).reshape(16, W, 3)[:, :, 1], bwd_y
+    )
+
+
+def test_mpeg1_bframe_stream_reorder_and_temporal_reference():
+    """The encoder must emit DECODE order (anchor before the B's that
+    display before it) with temporal_reference = display index, and
+    the sampler must hand back display order."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    enc, dec, pix = _build_mpeg1_codec()
+    i_mbs = _stripe_i_mbs([10, 20, 30, 40, 50, 60, 70, 80])
+    p_pic = {"type": "P", "mbs": [
+        {"intra": mb} for mb in _stripe_i_mbs([15, 25, 35, 45, 55, 65, 75, 85])
+    ]}
+    b_pic = {"type": "B", "mbs": [
+        {"fmv": (0, 0), "bmv": None, "blocks": [None] * 6}] * 4}
+    v = dec(enc(64, 16, 3, [i_mbs, b_pic, p_pic]))
+    # stream order: picture 0 = I (tr 0), picture 1 = P (tr 2),
+    # picture 2 = B (tr 1)
+    import nyc_taxi_data_clickhouse_spark.operators.multimodal as mm
+    hdrs = []
+    for k in range(3):
+        r_pic = v["pictures"][k][4:]
+        tr = (r_pic[0] << 2) | (r_pic[1] >> 6)
+        ptype = (r_pic[1] >> 3) & 7
+        hdrs.append((tr, ptype))
+    assert hdrs == [(0, 1), (2, 2), (1, 3)]
+    # display 1 (the B, forward zero-motion from I) equals the I frame
+    assert pix(v, 1)[3] == pix(v, 0)[3]
+    # display 2 is the P anchor content, not the B
+    assert pix(v, 2)[3] != pix(v, 0)[3]
+
+
+def test_mpeg1_bframe_encoder_validation():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+    import pytest
+
+    enc, dec, pix = _build_mpeg1_codec()
+    i_mbs = _stripe_i_mbs([10, 20, 30, 40, 50, 60, 70, 80])
+    bmb = {"fmv": (0, 0), "bmv": None, "blocks": [None] * 6}
+    b_pic = {"type": "B", "mbs": [bmb] * 4}
+    p_pic = {"type": "P", "mbs": [
+        {"intra": mb} for mb in _stripe_i_mbs([1, 2, 3, 4, 5, 6, 7, 8])
+    ]}
+    # trailing B without a following anchor
+    with pytest.raises(ValueError, match="trailing B"):
+        enc(64, 16, 3, [i_mbs, b_pic])
+    # B before the first anchor
+    with pytest.raises(ValueError, match="before the first anchor"):
+        enc(64, 16, 3, [b_pic, i_mbs])
+    # B macroblock without any motion vector
+    with pytest.raises(ValueError, match="at least one motion"):
+        enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
+            bmb, {"fmv": None, "bmv": None, "blocks": [None] * 6},
+            bmb, bmb]}, p_pic])
+    # skipped B macroblock right after an intra macroblock
+    with pytest.raises(ValueError, match="follow an intra"):
+        enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
+            bmb, {"intra": i_mbs[1]}, "skip", bmb]}, p_pic])
+    # backward vector outside the backward f_code range
+    with pytest.raises(ValueError, match="backward motion vector"):
+        enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
+            bmb, {"fmv": None, "bmv": (0, -40), "blocks": [None] * 6},
+            bmb, bmb]}, p_pic], backward_f_code=2)
+
+
+def test_mpeg1_bframe_dual_predictors_independent():
+    """Forward and backward vector predictors must be tracked
+    independently, and a direction ABSENT from a macroblock must leave
+    its predictor unchanged (B rule — unlike P's reset-to-zero): MB3's
+    forward delta is differenced against MB0's forward vector even
+    though MB1/MB2 carried no forward vector."""
+    import numpy as np
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    enc, dec, pix = _build_mpeg1_codec()
+    i_str = [10, 20, 30, 40, 50, 60, 70, 81]
+    p_str = [15, 25, 35, 45, 55, 65, 75, 85]
+    i_mbs = _stripe_i_mbs(i_str)
+    p_pic = {"type": "P", "mbs": [
+        {"intra": mb} for mb in _stripe_i_mbs(p_str)
+    ]}
+    b_mbs = [
+        {"fmv": (16, 0), "bmv": None, "blocks": [None] * 6},    # fwd +8px
+        {"fmv": None, "bmv": (-16, 0), "blocks": [None] * 6},   # bwd -8px
+        {"fmv": None, "bmv": (-16, 0), "blocks": [None] * 6},   # delta 0
+        # fwd -8px: differenced against MB0's +16 predictor (delta -32)
+        # — MB1/MB2 carried no forward vector, so a buggy P-style reset
+        # would reconstruct -32 (-16px) here and land on I stripes 4/5
+        {"fmv": (-16, 0), "bmv": None, "blocks": [None] * 6},
+    ]
+    v = dec(enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": b_mbs}, p_pic]))
+    y = np.array(pix(v, 1)[3], dtype=np.int64).reshape(16, 64, 3)[:, :, 1]
+    assert int(y[0, 0]) == i_str[1]    # MB0: I col 8 at col 0
+    assert int(y[0, 8]) == i_str[2]
+    assert int(y[0, 16]) == p_str[1]   # MB1: P col 8 at col 16
+    assert int(y[0, 24]) == p_str[2]
+    assert int(y[0, 32]) == p_str[3]   # MB2: P col 24 at col 32
+    assert int(y[0, 40]) == p_str[4]
+    assert int(y[0, 48]) == i_str[5]   # MB3: I col 40 at col 48
+    assert int(y[0, 56]) == i_str[6]
