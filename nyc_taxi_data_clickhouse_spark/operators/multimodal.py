@@ -3221,13 +3221,45 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
                 recon[y] = _np.frombuffer(bytes(line), dtype=_np.uint8)
         return width, height, channels, recon.reshape(-1).tolist()
 
+    def _parse_wav_companded(payload):
+        """Manual RIFF walk for non-PCM WAVs the stdlib ``wave`` module
+        rejects: G.711 mu-law (fmt tag 7), expanded to 16-bit linear
+        via the standard decode form ``((man*8 + 132) << exp) - 132``
+        (Sun ulaw2linear; byte is complemented on the wire) —
+        vectorized, one numpy pass over the data chunk."""
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                fmt = payload[pos + 8 : pos + 8 + size]
+            elif cid == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        tag, nchan, rate = _struct.unpack("<HHI", fmt[:8])
+        if tag != 7:
+            raise ValueError(f"WAV format tag {tag} unsupported")
+        u = (~_np.frombuffer(data, dtype=_np.uint8)) & 0xFF
+        man = (u & 0x0F).astype(_np.int64)
+        exp = ((u >> 4) & 0x07).astype(_np.int64)
+        mag = (((man << 3) + 0x84) << exp) - 0x84
+        samples = _np.where((u & 0x80) != 0, -mag, mag).tolist()
+        return rate, nchan, len(data) // max(nchan, 1), samples
+
     def _parse_wav(payload):
-        with _wave.open(_io.BytesIO(payload), "rb") as w:
-            nchan = w.getnchannels()
-            rate = w.getframerate()
-            sampwidth = w.getsampwidth()
-            nframes = w.getnframes()
-            raw = w.readframes(nframes)
+        try:
+            with _wave.open(_io.BytesIO(payload), "rb") as w:
+                nchan = w.getnchannels()
+                rate = w.getframerate()
+                sampwidth = w.getsampwidth()
+                nframes = w.getnframes()
+                raw = w.readframes(nframes)
+        except _wave.Error:
+            # stdlib wave only reads PCM; companded formats (G.711
+            # mu-law, tag 7) take the manual RIFF path
+            return _parse_wav_companded(payload)
         if sampwidth == 2:
             samples = _np.frombuffer(
                 raw, dtype="<i2", count=len(raw) // 2
@@ -3314,8 +3346,8 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             raise NotImplementedError(
                 f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
                 "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, "
-                "baseline JPEG, GIF87a/89a, PCM WAV — or run with "
-                "fake=True for a deterministic stand-in feature"
+                "baseline JPEG, GIF87a/89a, PCM/G.711-mu-law WAV — or "
+                "run with fake=True for a deterministic stand-in feature"
             )
         return out
 
@@ -3438,6 +3470,10 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       ``pixel_sum`` is the png closed form with ``channels = 3``.
     - ``audio``: mono 16-bit 16 kHz WAV, ``200 + id%50`` samples, all
       equal to ``100 + id%900``.
+    - ``mulaw``: mono 8 kHz G.711 mu-law WAV (fmt tag 7),
+      ``200 + id%50`` codewords all equal to ``id % 256``, so the
+      expanded magnitude — and therefore ``abs_sum`` — is the G.711
+      closed form of the id (see ``_wav_mulaw``).
     - ``jpeg``: REAL baseline JFIF, 16×16, grayscale when ``id%2 == 0``
       else YCbCr 4:4:4 with neutral chroma.  Each of the four 8×8
       blocks holds the constant luma ``Y_b = 2*((id + b) % 128)``
@@ -3461,7 +3497,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "gif", "audio", "jpeg",
+    if modality not in ("image", "png", "gif", "audio", "mulaw", "jpeg",
                         "jpeg_progressive", "video", "y4m", "mpeg1",
                         "mpeg1p", "mpeg1b"):
         raise ValueError(f"unknown modality {modality!r}")
@@ -3578,6 +3614,25 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 f.setframerate(16_000)
                 f.writeframes(_struct.pack("<h", amp) * n)
             return buf.getvalue()
+
+        def _wav_mulaw(i):
+            # G.711 mu-law WAV (fmt tag 7): 8 kHz mono, 200 + i%50
+            # samples, every codeword the constant byte i % 256.  The
+            # stdlib wave writer refuses non-PCM, so the RIFF container
+            # is emitted manually (fmt tag 7, 8 bits/sample, data chunk
+            # word-padded).  Decoded magnitude is the G.711 closed form
+            # of u = 255 - i%256 (wire bytes are complemented):
+            # ((u%16)*8 + 132) * 2^((u//16)%8) - 132 — SQL-restatable,
+            # so abs_sum = n * mag gates the whole expand path.
+            n = 200 + i % 50
+            data = bytes([i % 256]) * n
+            fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            chunks = (
+                b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b"")
+            )
+            return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
         def _jpeg(i):
             gray = i % 2 == 0
@@ -3774,6 +3829,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             "png": _png,
             "gif": _gif,
             "audio": _wav,
+            "mulaw": _wav_mulaw,
             "jpeg": _jpeg,
             "jpeg_progressive": _jpeg_prog,
             "video": _avi,

@@ -1,0 +1,469 @@
+"""Round-12 surface extensions — graph analytics over interaction
+data, principled weighted sampling, and rule-attributed quality
+filtering: the remaining standard stages of a 100 TB training-data
+pipeline that the registry did not yet cover.
+
+- ``graph_pagerank``: fixed-iteration PageRank over the user->item
+  interaction graph derived from ``events`` (edge = user clicked item
+  ``k`` of its JSON props).  The scale-honest shape: each iteration is
+  one equi-join of edges with the current rank vector on ``src`` plus
+  one hash re-aggregation on ``dst`` — never a collect of the rank
+  vector, never a broadcast of anything but the two one-row scalars
+  (node count, dangling mass).  Items have no out-edges, so the
+  dangling-mass redistribution term is genuinely exercised.  At 100 TB
+  pre-partition edges and ranks by the join key so the per-iteration
+  exchange is reused, and checkpoint every few iterations to cut the
+  lineage chain; 3 iterations keeps the oracle a finite chained-CTE
+  unrolling (PageRank is not otherwise SQL-expressible).
+- ``graph_triangle_count``: degree-ordered triangle counting.  Edges
+  are oriented from the endpoint with smaller ``(degree, id)`` to the
+  larger, which bounds every node's out-degree by O(sqrt(m)) on any
+  graph (the classic arboricity argument), so the wedge self-join —
+  the only superlinear step — is skew-bounded by construction instead
+  of exploding on hub nodes.  Wedge generation and the closing-edge
+  probe are both equi-joins; no cartesian anywhere.
+- ``weighted_sample_topk``: deterministic weighted sampling WITHOUT
+  replacement (Efraimidis & Spirakis 2006, "Weighted random sampling
+  with a reservoir": draw key u_i^(1/w_i), take the top k).  The
+  uniform comes from a Knuth multiplicative hash of the id — no RNG
+  state, so the sample is reproducible and the oracle can restate it.
+  The top-k is ``ORDER BY key LIMIT k``, which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows
+  per partition) — never a global sort of the corpus.
+- ``quality_rule_filter``: Gopher-style composite quality rules
+  (word-count bounds, mean-word-length bounds, stopword floor, symbol
+  ceiling, duplicate-token ceiling) with PER-RULE attribution flags,
+  the filter-stage complement of ``text_quality``'s scoring.  Every
+  threshold is evaluated by integer cross-multiplication
+  (``sw * 100 >= wc * 5`` instead of ``sw/wc >= 0.05``), so the
+  verdicts are exact in both engines with no float-comparison edge.
+  Map-only: one pass, no shuffle, no UDF.
+
+Reference: no analog (the reference is a 4-query taxi benchmark —
+SURVEY §0); all four entries are DuckDB-oracle-gated with the oracle
+restating the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+#: offset separating the item id space from the user id space in the
+#: interaction graph (JSON ``k`` is 0..99; user ids are small ints)
+ITEM_OFFSET = 1_000_000
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed user->item edges from events: ``user_id ->
+    ITEM_OFFSET + props.k``, distinct.  One JSON parse + one
+    distinct — the normal provenance of a behavioural graph."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.filter(k.isNotNull())
+        .select(
+            F.col("user_id").alias("src"),
+            (F.lit(ITEM_OFFSET) + k).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = (
+    "SELECT DISTINCT user_id AS src, "
+    f"{ITEM_OFFSET} + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst "
+    "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+)
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
+             damping: float = PAGERANK_DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank with uniform teleport and dangling-mass
+    redistribution::
+
+        pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + dang/N)
+
+    where ``dang`` is the rank mass sitting on nodes without out-edges.
+    Returns (node, pr) with pr a double summing to 1 each iteration.
+
+    Scale shape: per iteration one edges-to-ranks equi-join on ``src``,
+    one hash agg on ``dst``, one join-back to the node list — all
+    shuffles on the graph keys, nothing driver-side.  The two scalars
+    (N, dangling mass) ride along as broadcast one-row frames, keeping
+    the whole chain lazy (no ``collect`` in the loop)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_df = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("pr"),
+            )
+        )
+    return ranks
+
+
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    """Chained-CTE unrolling of :func:`pagerank` in DuckDB SQL — one
+    (dangN, contribN, prN) triple per iteration, identical arithmetic."""
+    d = repr(damping)
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        p, q = f"pr{i}", f"pr{i + 1}"
+        parts.append(
+            f", dang{i} AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM {p} "
+            f"LEFT JOIN deg ON {p}.node = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f", contrib{i} AS (SELECT e.dst AS node, "
+            f"sum({p}.pr / deg.outdeg) AS contrib "
+            f"FROM e JOIN {p} ON {p}.node = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f", {q} AS (SELECT nodes.node, "
+            f"(1.0 - {d}) / nn.n + {d} * "
+            f"(coalesce(contrib{i}.contrib, 0.0) + dang{i}.dang / nn.n) AS pr "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN dang{i} "
+            f"LEFT JOIN contrib{i} ON contrib{i}.node = nodes.node)"
+        )
+    parts.append(
+        f"SELECT node, round(pr, 6) AS pr FROM pr{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_DAMPING),
+    doc="§7 graph: 3-iteration PageRank (d=0.85, uniform teleport, "
+    "dangling mass redistributed) over the user->item interaction "
+    "graph from events' JSON props.  Items are sinks, so the dangling "
+    "term is live.  Each iteration = edges-ranks equi-join + dst hash "
+    "agg + node join-back; the only broadcasts are the two one-row "
+    "scalars, the loop never collects.  At 100 TB: co-partition edges "
+    "and ranks on the key and checkpoint every few iterations.  "
+    "Output rounded to 6 dp (double sum order differs cross-engine at "
+    "~1e-15; values are ~1e-3-spaced).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = interaction_edges(spark, sf_dir)
+    pr = pagerank(edges)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def social_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic undirected user-user graph from events: event
+    ``i`` links ``user_id`` with ``(user_id + 1 + i % 7) % n_users``
+    — a small-shift ring with bounded degree (<= 14) and plenty of
+    triangles (shifts a, b, a+b all <= 7 close them).  Canonicalized
+    to ``a < b``, distinct.  The modulus is the live user-id span
+    (scalar subquery, broadcast) so the derivation scales with SF."""
+    e = load_table(spark, sf_dir, "events")
+    m_df = e.agg((F.max("user_id") + 1).alias("m"))
+    pairs = e.crossJoin(F.broadcast(m_df)).select(
+        F.col("user_id").alias("u"),
+        ((F.col("user_id") + 1 + F.col("event_id") % 7) % F.col("m")).alias("v"),
+    )
+    return (
+        pairs.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+    )
+
+
+_SOCIAL_EDGES_SQL = """
+    WITH m AS (SELECT max(user_id) + 1 AS m FROM events),
+    p AS (
+      SELECT user_id AS u,
+             (user_id + 1 + event_id % 7) % m.m AS v
+      FROM events CROSS JOIN m),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM p WHERE u <> v)
+"""
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given canonical ``a < b``
+    edges, via degree ordering: orient every edge from the endpoint
+    with smaller ``(degree, id)`` toward the larger, generate wedges by
+    self-joining oriented edges on their source, and probe each wedge's
+    closing pair against the oriented edge set.  Each triangle has
+    exactly one node with out-edges to both others under this order, so
+    it is counted exactly once.
+
+    Scale shape: orientation bounds out-degree by O(sqrt(m)) on any
+    graph, so the wedge join — the one superlinear step — cannot
+    explode on hub nodes (the reason this beats the naive 3-way join
+    at 100 TB).  All steps are equi-joins and hash aggs."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") != F.col("w"))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    _SOCIAL_EDGES_SQL
+    + """
+    , deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM (SELECT u1.src AS u, u1.dst AS v, u2.dst AS w
+            FROM o u1 JOIN o u2 ON u1.src = u2.src AND u1.dst <> u2.dst) wedge
+      JOIN o ON o.src = wedge.v AND o.dst = wedge.w)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    doc="§7 graph: exact triangle count via degree ordering — edges "
+    "oriented low-(degree,id) -> high bound every out-degree by "
+    "O(sqrt(m)), so the wedge self-join is skew-proof by construction "
+    "(hub nodes never fan out).  Wedge probe is an equi-join on the "
+    "closing pair.  Graph: deterministic small-shift user ring from "
+    "events (degree <= 14, modulus = live user span via a broadcast "
+    "scalar).  Single summary row, integer-exact.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(social_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+#: Knuth's multiplicative hash constant (2^32 / phi, odd)
+_KNUTH = 2_654_435_761
+_SAMPLE_K = 50
+
+
+def aes_key(id_col: Column | str, weight_col: Column | str) -> Column:
+    """A-ES sampling key ``u^(1/w)`` with ``u`` a deterministic uniform
+    in (0, 1] from a Knuth multiplicative hash of the id.  Taking the
+    top k keys is exactly weighted sampling without replacement with
+    inclusion probability proportional to w (Efraimidis & Spirakis
+    2006).  Hash-derived u means no RNG state: reproducible across
+    retries, partitionings, and engines."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = (i * F.lit(_KNUTH)) % F.lit(2**32)
+    u = (h + F.lit(1.0)) / F.lit(float(2**32))
+    return F.pow(u, F.lit(1.0) / w)
+
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    SELECT rank, doc_id, n_chars FROM (
+      SELECT row_number() OVER (
+               ORDER BY pow(((doc_id * {_KNUTH}) % 4294967296 + 1.0)
+                           / 4294967296.0, 1.0 / n_chars) DESC,
+                        doc_id) AS rank,
+             doc_id, n_chars
+      FROM documents WHERE n_chars > 0)
+    WHERE rank <= {_SAMPLE_K}
+    """,
+    doc="§7 sampling: weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): key = u^(1/w), w = n_chars, u a "
+    "Knuth-multiplicative-hash uniform of doc_id — deterministic, no "
+    "RNG state, oracle-restatable.  Top-k is ORDER BY ... LIMIT k, "
+    "which Spark runs as TakeOrderedAndProject (per-partition k-heaps "
+    "+ driver merge of k*partitions rows), NOT a global sort — the "
+    "100 TB-safe shape for any k that fits one machine.  Keys are "
+    "well-separated (corpus gaps >> 1 ulp), so cross-engine libm "
+    "differences cannot reorder the sample.",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id", "n_chars", aes_key("doc_id", "n_chars").alias("__key")
+    )
+    top = keyed.orderBy(F.col("__key").desc(), F.col("doc_id")).limit(_SAMPLE_K)
+    w = Window.orderBy(F.col("__key").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule-attributed quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')"
+_STOPLIST_SQL = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'for', 'on']"
+
+#: rule thresholds (integer cross-multiplied, see module doc)
+_WC_MIN, _WC_MAX = 20, 90          # word-count bounds
+_MWL_MIN, _MWL_MAX = 3, 10         # mean word length bounds (chars/word)
+_STOP_PCT = 5                      # stopword ratio floor, percent
+_SYM_PCT = 10                      # symbols-per-word ceiling, percent
+_DUP_PCT = 60                      # duplicate-token fraction ceiling, percent
+
+
+@register(
+    "quality_rule_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS wc,
+             CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS dc,
+             CAST(len(list_filter({_TOKS_SQL},
+                  t -> list_contains({_STOPLIST_SQL}, t))) AS BIGINT) AS sw,
+             CAST(length(regexp_replace(trim(text),
+                  '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS BIGINT) AS nonsp,
+             CAST(length(regexp_replace(text,
+                  '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS sym
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id, wc,
+           (wc BETWEEN {_WC_MIN} AND {_WC_MAX}) AS r_word_count,
+           (nonsp >= {_MWL_MIN} * wc AND nonsp <= {_MWL_MAX} * wc)
+               AS r_mean_word_len,
+           (sw * 100 >= {_STOP_PCT} * wc) AS r_stopwords,
+           (sym * 100 <= {_SYM_PCT} * wc) AS r_symbols,
+           ((wc - dc) * 100 <= {_DUP_PCT} * wc) AS r_dup_tokens,
+           ((wc BETWEEN {_WC_MIN} AND {_WC_MAX})
+            AND nonsp >= {_MWL_MIN} * wc AND nonsp <= {_MWL_MAX} * wc
+            AND sw * 100 >= {_STOP_PCT} * wc
+            AND sym * 100 <= {_SYM_PCT} * wc
+            AND (wc - dc) * 100 <= {_DUP_PCT} * wc) AS keep
+    FROM f
+    """,
+    doc="§7 quality: Gopher-style composite rule filter (Rae et al. "
+    "2021 §A1.1 shape) with per-rule attribution — word-count bounds "
+    "[20, 90], mean word length [3, 10] chars, stopword ratio >= 5%, "
+    "symbol-to-word ratio <= 10%, duplicate-token fraction <= 60%; "
+    "keep = all five.  Every threshold is an integer "
+    "cross-multiplication (sw*100 >= 5*wc), never a float ratio, so "
+    "verdicts are bit-exact cross-engine.  Map-only JVM built-ins: one "
+    "pass, zero shuffle, zero UDF — the filter stage composes with "
+    "token_budget_selection / domain mixing downstream.",
+)
+def quality_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+")
+    stop = F.array([F.lit(s) for s in
+                    ("the", "and", "of", "to", "a", "in", "is", "it",
+                     "for", "on")])
+    pre = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("wc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dc"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("long")
+        .alias("sw"),
+        F.length(
+            F.regexp_replace(F.trim("text"), r"[ \t\n\x0B\f\r]+", "")
+        ).cast("long").alias("nonsp"),
+        F.length(
+            F.regexp_replace("text", r"[A-Za-z0-9 \t\n\x0B\f\r]", "")
+        ).cast("long").alias("sym"),
+    )
+    r_wc = F.col("wc").between(_WC_MIN, _WC_MAX)
+    r_mwl = (F.col("nonsp") >= _MWL_MIN * F.col("wc")) & (
+        F.col("nonsp") <= _MWL_MAX * F.col("wc")
+    )
+    r_stop = F.col("sw") * 100 >= _STOP_PCT * F.col("wc")
+    r_sym = F.col("sym") * 100 <= _SYM_PCT * F.col("wc")
+    r_dup = (F.col("wc") - F.col("dc")) * 100 <= _DUP_PCT * F.col("wc")
+    return pre.select(
+        "doc_id",
+        "wc",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbols"),
+        r_dup.alias("r_dup_tokens"),
+        (r_wc & r_mwl & r_stop & r_sym & r_dup).alias("keep"),
+    )

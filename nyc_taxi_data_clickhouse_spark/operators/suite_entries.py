@@ -892,6 +892,44 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_mulaw",
+    """
+    WITH m AS (
+      SELECT doc_id, 255 - (doc_id % 256) AS u, 200 + doc_id % 50 AS n
+      FROM documents)
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * (((u % 16) * 8 + 132)
+                     * CAST(power(2, (u // 16) % 8) AS BIGINT) - 132)
+                AS BIGINT) AS abs_sum
+    FROM m
+    """,
+    doc="§7 multimodal: REAL G.711 mu-law decode — per-doc 8 kHz WAVs "
+    "with format tag 7 (stdlib wave refuses non-PCM, so both the "
+    "writer and the reader walk the RIFF container manually) carrying "
+    "200 + id%50 copies of codeword id%256; the vectorized expander "
+    "must reproduce the spec's ((man*8+132)<<exp)-132 magnitude "
+    "exactly — the oracle restates it as integer arithmetic on "
+    "u = 255 - id%256 (wire bytes are complemented).",
+)
+def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "mulaw"), "payload", "audio/basic")
+    return featurize_media(media, fake=False).select(
+        "media_id", "sample_rate", "n_samples", "abs_sum"
+    )
+
+
+@register(
     "multimodal_image_resize",
     """
     SELECT doc_id AS media_id,

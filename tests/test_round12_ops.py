@@ -1,0 +1,248 @@
+"""Round-12 operators: PageRank, triangle counting, A-ES weighted
+sampling, the Gopher-style rule filter, and the G.711 mu-law codec —
+edge semantics the suite oracles don't pin (hand graphs, per-rule
+boundary docs, the full 256-codeword expand table)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+    _KNUTH,
+    aes_key,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs, cols=("src", "dst")):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], f"{cols[0]} long, {cols[1]} long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_ref(edges, iters=3, d=0.85):
+    """Independent dict-based reimplementation of the fixed-iteration
+    PageRank recurrence (uniform teleport, dangling redistributed)."""
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(pr[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            nxt[v] = (1 - d) / n + d * dang / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * pr[u] / len(vs)
+        pr = nxt
+    return pr
+
+
+def test_pagerank_star_matches_reference(spark):
+    # star with a dangling hub target: 1->2, 1->3, 2->3 (3 is a sink)
+    edges = [(1, 2), (1, 3), (2, 3)]
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(_edges(spark, edges), iters=3).collect()
+    }
+    ref = _pagerank_ref(edges, iters=3)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_cycle_uniform(spark):
+    # directed 4-cycle: no dangling, symmetric -> uniform at every
+    # iteration; total mass exactly 1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    rows = pagerank(_edges(spark, edges), iters=2).collect()
+    total = sum(r["pr"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-12)
+    for r in rows:
+        assert r["pr"] == pytest.approx(0.25, abs=1e-12)
+
+
+def test_pagerank_all_dangling(spark):
+    # both nodes are each other's only predecessor... actually: one
+    # edge 1->2 and nothing else: 2 is dangling, its mass recycles
+    edges = [(1, 2)]
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(_edges(spark, edges), iters=1).collect()
+    }
+    ref = _pagerank_ref(edges, iters=1)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    df = _edges(spark, pairs, cols=("a", "b"))
+    return triangle_count(df).collect()[0]
+
+
+def test_triangles_k4(spark):
+    # K4: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = _tri(spark, k4)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangles_square_none(spark):
+    row = _tri(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    assert row["n_triangles"] == 0
+
+
+def test_triangles_two_sharing_edge(spark):
+    # triangles 0-1-2 and 1-2-3 share edge (1,2)
+    row = _tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert row["n_triangles"] == 2
+    assert row["n_edges"] == 5
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_aes_key_matches_python(spark):
+    rows = [(i, 10 + 7 * i) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", aes_key("doc_id", "n_chars").alias("k")
+        ).collect()
+    }
+    for i, w in rows:
+        u = ((i * _KNUTH) % 2**32 + 1.0) / 2**32
+        assert got[i] == pytest.approx(u ** (1.0 / w), rel=1e-15)
+
+
+def test_aes_heavier_weights_win_in_expectation():
+    # weight 1000 vs weight 1: the heavy item's key u^(1/1000) is
+    # near 1 for almost any u; over many id pairs the heavy item's
+    # key beats the light item's almost always
+    def u(i):
+        return ((i * _KNUTH) % 2**32 + 1.0) / 2**32
+
+    wins = sum(
+        1 for i in range(100) if u(i) ** (1 / 1000) > u(i + 100) ** (1 / 1)
+    )
+    assert wins > 90
+
+
+# ---------------------------------------------------------------------------
+# quality rule filter (via the registered entry on a temp corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rules_attribute_each_failure(spark, tmp_path):
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+        quality_rule_filter,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and then it " \
+           "runs on far to the hills for a while in clear air " + \
+           "with many more fine plain words here now then soon"
+    rows = [
+        (1, good),                                    # passes all
+        (2, "the a of to in"),                        # too few words
+        (3, ("the aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa " * 10).strip()),  # mwl high
+        (4, " ".join(f"w{i}" for i in range(40))),    # no stopwords
+        (5, good + " " + "#$%^&* " * 12),             # symbol soup
+        (6, "the " + "dup " * 40 + "of it a to in"),  # dup tokens
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in quality_rule_filter(spark, str(tmp_path)).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_stopwords"]
+    assert not out[5]["r_symbols"]
+    assert not out[6]["r_dup_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law codec
+# ---------------------------------------------------------------------------
+
+
+def _mulaw_wav(codeword: int, n: int) -> bytes:
+    data = bytes([codeword]) * n
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _expand(byte: int) -> int:
+    u = ~byte & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def test_mulaw_full_codeword_table():
+    """All 256 codewords expand to the spec values: 0x00 -> -32124,
+    0xFF -> 0, 0x7F -> 0 (negative zero folds), sign symmetry."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    assert _expand(0x00) == -32124
+    assert _expand(0xFF) == 0
+    assert _expand(0x7F) == 0
+    for c in range(256):
+        out = decode_media(_mulaw_wav(c, 5), "audio/basic")
+        assert out["kind"] == "audio"
+        assert out["sample_rate"] == 8000
+        assert out["n_samples"] == 5
+        assert out["samples"] == [_expand(c)] * 5
+        assert out["abs_sum"] == 5 * abs(_expand(c))
+    # sign symmetry: clearing the sign bit of the WIRE byte negates
+    for c in range(0x80):
+        assert _expand(c) == -_expand(c | 0x80)
+
+
+def test_mulaw_odd_length_word_padding():
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    out = decode_media(_mulaw_wav(0x1D, 7), "audio/basic")
+    assert out["n_samples"] == 7  # pad byte not decoded as a sample
+
+
+def test_pcm_wav_path_unaffected():
+    import io
+    import wave
+
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(struct.pack("<h", 123) * 4)
+    out = decode_media(buf.getvalue(), "audio/wav")
+    assert out["n_samples"] == 4 and out["abs_sum"] == 492
