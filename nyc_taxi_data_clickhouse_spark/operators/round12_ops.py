@@ -100,13 +100,28 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     one hash agg on ``dst``, one join-back to the node list — all
     shuffles on the graph keys, nothing driver-side.  The two scalars
     (N, dangling mass) ride along as broadcast one-row frames, keeping
-    the whole chain lazy (no ``collect`` in the loop)."""
+    the whole chain lazy (no ``collect`` in the loop).
+
+    Reuse policy (same as dedup.py's connected components): edges /
+    nodes / outdeg and each iteration's rank vector are referenced 2-3
+    times by the next iteration, so without reuse Catalyst re-executes
+    the whole upstream per reference and the recompute COMPOUNDS 3x
+    per iteration.  ``localCheckpoint(eager=True)`` both truncates the
+    growing lineage and materializes each tier once — the measured
+    winner over lazy persist (cache-manager barriers cost more than
+    the checkpoint writes) and over no reuse (27x recompute of the
+    derivation).  At 100 TB the rank vector is ~16 bytes/node —
+    cluster cache-tier sized, the standard PageRank residency."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").alias("outdeg")
+    ).localCheckpoint(eager=True)
     n_df = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -137,6 +152,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                     )
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -248,12 +264,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Scale shape: orientation bounds out-degree by O(sqrt(m)) on any
     graph, so the wedge join — the one superlinear step — cannot
     explode on hub nodes (the reason this beats the naive 3-way join
-    at 100 TB).  All steps are equi-joins and hash aggs."""
+    at 100 TB).  All steps are equi-joins and hash aggs.  ``edges``,
+    ``deg`` and the oriented edge set are each referenced 2-3 times
+    downstream (wedge sides + closing probe), so each is
+    ``localCheckpoint``ed once — the repo's iterative/multi-reference
+    reuse pattern (see dedup.py) and the measured winner over lazy
+    persist and over recompute."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -264,7 +287,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     wedges = e1.join(e2, "u").filter(F.col("v") != F.col("w"))
