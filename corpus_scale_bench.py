@@ -107,6 +107,15 @@ OPS = {
     "token_budget_selection": "verbatim",
     "quality_percentile_by_domain": "verbatim",
     "domain_mix_temperature": "verbatim",
+    # graph family (r12): scales on replicated EVENTS — each replica
+    # shifts user_ids into a fresh span (user count grows linearly)
+    # while the 100-item side is SHARED, so item in-degree grows with
+    # the factor — the hub-skew axis the degree-ordered/agg designs
+    # must absorb.  PageRank is O(iters * edges): expected linear.
+    # Triangle counting on the bounded-degree social ring is linear in
+    # edges by the arboricity bound.
+    "graph_pagerank": "events",
+    "graph_triangle_count": "events",
 }
 
 
@@ -170,12 +179,40 @@ def _replicate_embeddings(spark, base: str, out: Path, factor: int):
     )
 
 
+def _replicate_events(spark, base: str, out: Path, factor: int):
+    """Replicated events for the graph ops: every replica's users move
+    to a fresh id span (user side grows linearly — r independent user
+    populations) while props.k is kept VERBATIM, so the 100 items act
+    as shared hubs whose in-degree grows with the factor — the skew
+    axis a graph op must absorb at scale.  event_ids stay distinct so
+    the social-ring derivation keeps its per-user degree bound."""
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    ev = load_events(spark, base)
+    span = ev.agg(F.max("user_id") + 1).first()[0]
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(span)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+
+
 def materialize(spark, base: str, factor: int) -> dict[str, str]:
     """Build (or reuse) the factor's data dirs; returns mode -> sf_dir.
     Each sf_dir exposes the replicated table plus symlinks to every
     other base table so any op's load_table calls resolve."""
     dirs = {}
-    for mode in ("verbatim", "salted", "embeddings"):
+    for mode in ("verbatim", "salted", "embeddings", "events"):
         root = CACHE / f"x{factor}" / mode
         marker = root / "_DONE"
         if not marker.exists():
@@ -183,6 +220,10 @@ def materialize(spark, base: str, factor: int) -> dict[str, str]:
             if mode == "embeddings":
                 _replicate_embeddings(
                     spark, base, root / "embeddings.parquet", factor
+                )
+            elif mode == "events":
+                _replicate_events(
+                    spark, base, root / "events.parquet", factor
                 )
             else:
                 _replicate_docs(
@@ -280,9 +321,12 @@ def main() -> None:
     )
     reg = suite.registry()
 
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
     base_rows = {
         "doc": spark.read.parquet(f"{base}/documents.parquet").count(),
         "emb": spark.read.parquet(f"{base}/embeddings.parquet").count(),
+        "ev": load_events(spark, base).count(),
     }
 
     dirs_by_factor = {f: materialize(spark, base, f) for f in factors}
@@ -327,7 +371,12 @@ def main() -> None:
                         run_metrics.append((elapsed, delta))
             sec = min(times)
             pts.append((f, sec))
-            nrows = base_rows["emb" if mode == "embeddings" else "doc"] * f
+            nrows = (
+                base_rows[
+                    {"embeddings": "emb", "events": "ev"}.get(mode, "doc")
+                ]
+                * f
+            )
             detail[str(f)] = {"rows": nrows, "sec": round(sec, 3)}
             if run_metrics:
                 # report the MIN-wall run's deltas so cpu/shuffle/spill

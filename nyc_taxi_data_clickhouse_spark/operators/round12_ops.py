@@ -30,6 +30,9 @@ pipeline that the registry did not yet cover.
   The top-k is ``ORDER BY key LIMIT k``, which Spark executes as
   TakeOrderedAndProject (per-partition heaps + driver merge of k rows
   per partition) — never a global sort of the corpus.
+- ``weighted_sample_per_domain``: the same A-ES key ranked within
+  each source domain (domain-capped selection — "no domain may
+  dominate the mix"), one shuffle on the domain key.
 - ``quality_rule_filter``: Gopher-style composite quality rules
   (word-count bounds, mean-word-length bounds, stopword floor, symbol
   ceiling, duplicate-token ceiling) with PER-RULE attribution flags,
@@ -40,16 +43,18 @@ pipeline that the registry did not yet cover.
   Map-only: one pass, no shuffle, no UDF.
 
 Reference: no analog (the reference is a 4-query taxi benchmark —
-SURVEY §0); all four entries are DuckDB-oracle-gated with the oracle
+SURVEY §0); all entries are DuckDB-oracle-gated with the oracle
 restating the identical arithmetic.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_clickhouse_spark.suite import load_table, register
+from nyc_taxi_data_clickhouse_spark.suite import load_events, load_table, register
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -62,12 +67,19 @@ ITEM_OFFSET = 1_000_000
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 
+#: broadcast the rank/degree side tables only below this node count —
+#: ~16 B/row keeps the build inside the broadcast threshold with
+#: headroom (same bound class as stats.BROADCAST_GROUP_BOUND); above
+#: it the per-iteration joins become shuffled-hash joins against
+#: src-partitioned checkpointed edges (ranks is the build side)
+RANK_BROADCAST_BOUND = 500_000
+
 
 def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed user->item edges from events: ``user_id ->
     ITEM_OFFSET + props.k``, distinct.  One JSON parse + one
     distinct — the normal provenance of a behavioural graph."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         e.filter(k.isNotNull())
@@ -87,7 +99,8 @@ _EDGES_SQL = (
 
 
 def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
-             damping: float = PAGERANK_DAMPING) -> DataFrame:
+             damping: float = PAGERANK_DAMPING,
+             rank_broadcast_bound: int | None = None) -> DataFrame:
     """Fixed-iteration PageRank with uniform teleport and dangling-mass
     redistribution::
 
@@ -122,39 +135,87 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     outdeg = edges.groupBy("src").agg(
         F.count("*").alias("outdeg")
     ).localCheckpoint(eager=True)
+    # the edges-to-outdeg join is ITERATION-INVARIANT — hoist it out of
+    # the loop and checkpoint, so each iteration joins the (src, dst,
+    # outdeg) fact once with the rank vector instead of re-running the
+    # full-edge-list degree join every pass (the r12 decade probe's
+    # superlinear CPU tail came from exactly this)
+    edges_deg = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    # count-gated join strategy (the stats.py broadcast-guard pattern;
+    # checkpointed localCheckpoint stats default to "huge", so without
+    # the gate the planner falls back to sort-merge and re-SORTS the
+    # edge list every iteration).  Below the bound the per-node side
+    # tables broadcast (edges never shuffle); above it, edges are
+    # pre-partitioned by the join key ONCE before the checkpoint and
+    # the joins are hinted shuffle_hash with ranks as the build side —
+    # no per-iteration sort of the edge list either way.  nodes is
+    # checkpointed, so the gate count is a metadata-cheap scalar (the
+    # dedup.py fixpoint-counter class of collect, not a data-path one).
+    bound = (
+        RANK_BROADCAST_BOUND
+        if rank_broadcast_bound is None
+        else rank_broadcast_bound
+    )
+    n_nodes = nodes.count()
+    if n_nodes <= bound:
+        small = F.broadcast
+    else:
+        small = lambda d: d.hint("shuffle_hash")  # noqa: E731
+        edges_deg = edges_deg.repartition("src")
+    edges_deg = edges_deg.localCheckpoint(eager=True)
     n_df = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(iters):
-        dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
-        )
-        contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(n_df))
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang") / F.col("n")
-                    )
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_step(
+            ranks, edges_deg, outdeg, nodes, n_df, small, damping
+        ).localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_step(
+    ranks: DataFrame,
+    edges_deg: DataFrame,
+    outdeg: DataFrame,
+    nodes: DataFrame,
+    n_df: DataFrame,
+    small: Callable[[DataFrame], DataFrame],
+    damping: float,
+) -> DataFrame:
+    """One un-checkpointed PageRank iteration — factored out so tests
+    can assert the physical join strategies (broadcast below the gate,
+    shuffled-hash above) on the pre-checkpoint plan; the loop wraps it
+    in a ``localCheckpoint``."""
+    dang = (
+        ranks.join(
+            small(outdeg), ranks["node"] == outdeg["src"], "left_anti"
+        )
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+    )
+    contrib = (
+        edges_deg.join(
+            small(ranks.withColumnRenamed("node", "src")), "src"
+        )
+        .groupBy("dst")
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+    )
+    return (
+        nodes.join(small(contrib), nodes["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") / F.col("n")
+                )
+            ).alias("pr"),
+        )
+    )
 
 
 def _pagerank_oracle_sql(iters: int, damping: float) -> str:
@@ -224,7 +285,7 @@ def social_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles (shifts a, b, a+b all <= 7 close them).  Canonicalized
     to ``a < b``, distinct.  The modulus is the live user-id span
     (scalar subquery, broadcast) so the derivation scales with SF."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_events(spark, sf_dir)
     m_df = e.agg((F.max("user_id") + 1).alias("m"))
     pairs = e.crossJoin(F.broadcast(m_df)).select(
         F.col("user_id").alias("u"),
@@ -395,6 +456,48 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("__key").desc(), F.col("doc_id"))
     return top.select(
         F.row_number().over(w).alias("rank"), "doc_id", "n_chars"
+    )
+
+
+_PER_DOMAIN_K = 10
+
+
+@register(
+    "weighted_sample_per_domain",
+    f"""
+    SELECT source, rank, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY pow(((doc_id * {_KNUTH}) % 4294967296 + 1.0)
+                           / 4294967296.0, 1.0 / n_chars) DESC,
+                        doc_id) AS rank
+      FROM documents WHERE n_chars > 0)
+    WHERE rank <= {_PER_DOMAIN_K}
+    """,
+    doc="§7 sampling: domain-capped A-ES — the same u^(1/w) key as "
+    "weighted_sample_topk ranked WITHIN each source, keep the top 10 "
+    "per domain (the 'no domain may dominate the mix' selection rule, "
+    "the weighted complement of sample_stratified's proportional "
+    "hash).  One shuffle on the domain key; rank never leaves its "
+    "partition.  At 100 TB a heavy-hitter domain makes one window "
+    "partition large — pre-filter with a per-(domain, input-partition) "
+    "partial top-k before the window if a domain exceeds executor "
+    "memory (same two-phase shape as the exact-median brackets).",
+)
+def weighted_sample_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "source", "doc_id", "n_chars",
+        aes_key("doc_id", "n_chars").alias("__key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("__key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PER_DOMAIN_K)
+        .select("source", "rank", "doc_id", "n_chars")
     )
 
 

@@ -74,6 +74,62 @@ def test_pagerank_mass_conserved_and_cycle_uniform(spark):
         assert r["pr"] == pytest.approx(0.25, abs=1e-12)
 
 
+def test_pagerank_join_gate_plan_shape(spark):
+    """Below the node-count gate the per-iteration joins broadcast the
+    rank-vector side; above it they are shuffled-hash with ranks as
+    the build side — never a per-iteration sort of the edge list.
+    Both paths must also produce identical rank values."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+        _pagerank_step,
+        pagerank,
+    )
+
+    edges = _edges(spark, [(i, 100 + i % 5) for i in range(50)])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    edges_deg = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    n_df = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    bcast_plan = _pagerank_step(
+        ranks, edges_deg, outdeg, nodes, n_df, F.broadcast, 0.85
+    )._jdf.queryExecution().executedPlan().toString()
+    shj_plan = _pagerank_step(
+        ranks, edges_deg, outdeg, nodes, n_df,
+        lambda d: d.hint("shuffle_hash"), 0.85,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
+    assert "ShuffledHashJoin" not in bcast_plan
+    assert "ShuffledHashJoin" in shj_plan
+    assert "SortMergeJoin" not in shj_plan
+    # value parity across the gate
+    lo = {
+        r["node"]: round(r["pr"], 9)
+        for r in pagerank(edges, rank_broadcast_bound=1).collect()
+    }
+    hi = {
+        r["node"]: round(r["pr"], 9)
+        for r in pagerank(edges).collect()
+    }
+    assert lo == hi
+
+
 def test_pagerank_all_dangling(spark):
     # both nodes are each other's only predecessor... actually: one
     # edge 1->2 and nothing else: 2 is dangling, its mass recycles
@@ -146,6 +202,42 @@ def test_aes_heavier_weights_win_in_expectation():
         1 for i in range(100) if u(i) ** (1 / 1000) > u(i + 100) ** (1 / 1)
     )
     assert wins > 90
+
+
+def test_weighted_sample_per_domain_caps_and_ranks(spark, tmp_path):
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+        _PER_DOMAIN_K,
+        weighted_sample_per_domain,
+    )
+
+    # 2 domains x 15 docs, plus one empty-weight doc that must drop
+    rows = [(i, "x" * (5 + i), ["a", "b"][i % 2]) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows]
+        + [(99, "", "en", "a", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = weighted_sample_per_domain(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"a", "b"}
+    for src, group in by_src.items():
+        assert len(group) == _PER_DOMAIN_K
+        assert sorted(r["rank"] for r in group) == list(
+            range(1, _PER_DOMAIN_K + 1)
+        )
+        # ranks follow the A-ES key order within the domain
+        def key(r):
+            u = ((r["doc_id"] * _KNUTH) % 2**32 + 1.0) / 2**32
+            return u ** (1.0 / r["n_chars"])
+
+        ordered = sorted(group, key=lambda r: (-key(r), r["doc_id"]))
+        assert [r["doc_id"] for r in ordered] == [
+            r["doc_id"] for r in sorted(group, key=lambda r: r["rank"])
+        ]
+    assert all(r["doc_id"] != 99 for r in out)
 
 
 # ---------------------------------------------------------------------------
