@@ -104,6 +104,11 @@ DEFAULT_QUERIES = [
     "multimodal_mpeg1_pframe",
     # round-12 B-picture decode: same codec tier, tracked from birth
     "multimodal_mpeg1_bframe",
+    # round-12 graph family: pagerank is among the heaviest registry
+    # entries (3-iteration shuffle loop) — tracked from birth, same
+    # rationale as the codec tier
+    "graph_pagerank",
+    "graph_triangle_count",
 ]
 
 
@@ -579,8 +584,18 @@ def main() -> None:
         headline["scan_rows"] = scan["rows"]
         headline["scan_best_sec"] = scan["query_best_sec"]
 
-    local_path.write_text(json.dumps(full, indent=2) + "\n")
-    print(f"full payload -> {local_path.name}", file=sys.stderr)
+    if os.environ.get("BENCH_MERGE", "1") == "0":
+        # scratch/solo re-measure: NEVER overwrite the round's committed
+        # best-of-runs payload with an unmerged (often subset) run — a
+        # r12 smoke run with BENCH_MERGE=0 clobbered the 4-run payload
+        # and the next full run merged against the wreckage
+        print(
+            f"BENCH_MERGE=0: scratch run, {local_path.name} NOT written",
+            file=sys.stderr,
+        )
+    else:
+        local_path.write_text(json.dumps(full, indent=2) + "\n")
+        print(f"full payload -> {local_path.name}", file=sys.stderr)
     # compact headline LAST on stdout — must fit the driver's tail buffer
     print(json.dumps(headline))
 

@@ -271,3 +271,90 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "hour timestamp, event_type string, cnt bigint, avg_value double"
     ).parquet(out)
+
+
+@register(
+    "streaming_transform_with_state",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="§2.9: custom stateful operator — per-user running "
+    "(count, cents) totals over 4 time-ranged micro-batches, each "
+    "batch emitting the CUMULATIVE row; the final emission per key "
+    "(max n_events) must equal the batch per-user aggregate — "
+    "stream==batch convergence.  Money folds as integer cents so the "
+    "state is arrival-order-exact.  Runs on the Spark 4 "
+    "transformWithState API (StatefulProcessor + typed ValueState, "
+    "successor of applyInPandasWithState) when its protobuf "
+    "dependency is importable (tws_available), and on the "
+    "semantically identical applyInPandasWithState GroupState twin "
+    "otherwise — identical output either way, so the oracle gate is "
+    "environment-independent.",
+)
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        run_to_completion,
+        transform_with_state_totals,
+    )
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    from nyc_taxi_data_clickhouse_spark.streaming.events import (
+        running_totals_stream,
+        tws_available,
+    )
+
+    use_tws = tws_available()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(conf_key)
+    except Exception:
+        saved = None
+    work = tempfile.mkdtemp(prefix="tws_stream_")
+    try:
+        if use_tws:
+            # transformWithState needs the RocksDB provider; scope it
+            spark.conf.set(
+                conf_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        # 4 time-ranged files -> 4 real micro-batches, so the value
+        # state genuinely carries across batches
+        src = os.path.join(work, "src")
+        batch = load_events(spark, sf_dir)
+        batch.repartitionByRange(4, "ts").write.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        totals = (
+            transform_with_state_totals(stream)
+            if use_tws
+            else running_totals_stream(stream)
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        drained = run_to_completion(totals, name, output_mode="append")
+        # emissions are cumulative per key -> the final snapshot is the
+        # row with the largest n_events per user
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            # materialize before the temp dir and conf scope end
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        if use_tws:
+            if saved is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, saved)

@@ -256,6 +256,134 @@ def sessionize_stream(
     )
 
 
+def tws_available() -> bool:
+    """True when Spark 4's transformWithState Python API can actually
+    run: its driver-side state server speaks protobuf, so the
+    ``google.protobuf`` package must be importable in the Python
+    workers.  This container ships pyspark without protobuf, so the
+    probe gates the API the same way optional codecs are gated."""
+    import importlib.util
+
+    return (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+
+
+def make_running_totals_fold():
+    """Factory for the applyInPandasWithState fold: per-user running
+    (count, cents) totals — read prior state, add this batch's rows,
+    emit the CUMULATIVE row.  Integer cents keep the running sum exact
+    whatever the row arrival order.  A factory (same pattern as
+    multimodal's codec builders) so the returned closure is
+    SELF-CONTAINED and ships to Python workers by value — the driver's
+    workers may not have this package importable, and a module-level
+    function would unpickle by module reference and fail there."""
+
+    def fold(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            cnt, cents = state.get
+        else:
+            cnt, cents = 0, 0
+        for pdf in pdfs:
+            cnt += int(len(pdf))
+            cents += int(pdf["cents"].sum())
+        state.update((int(cnt), int(cents)))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_cents": [cents]}
+        )
+
+    return fold
+
+
+def running_totals_stream(stream: DataFrame) -> DataFrame:
+    """Per-user running totals as a custom stateful operator
+    (``applyInPandasWithState``, GroupState API): every micro-batch
+    folds into per-key state and emits the cumulative row, so the last
+    emission per key equals the batch aggregate — the stream==batch
+    convergence contract the suite oracle checks.  State is one
+    (count, cents) pair per live user, sharded by key across the
+    cluster like every other stateful op here."""
+    prepared = stream.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_running_totals_fold(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="cnt bigint, cents bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles) that supersedes ``applyInPandasWithState``.  Semantics
+    are IDENTICAL to :func:`running_totals_stream`; the suite entry
+    prefers this path when :func:`tws_available` (the API's state
+    server needs the protobuf package, absent in this container) and
+    falls back to the GroupState twin otherwise, so the oracle gate is
+    deterministic either way.
+
+    Money is folded as integer CENTS (``round(value*100)`` cast long),
+    so the running sum is exact whatever the row arrival order — a
+    float accumulator would make the emission depend on partition
+    ordering.  Requires the RocksDB state store provider (the HDFS
+    provider does not implement the transformWithState column-family
+    API); the suite entry scopes that conf to the drain and restores
+    it.  State is partitioned by the grouping key like every other
+    stateful op here, so a 1000-executor cluster shards it naturally;
+    TTL (ttlDurationMs) bounds state for unbounded key spaces in
+    production."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            if self._totals.exists():
+                cnt, cents = self._totals.get()
+            else:
+                cnt, cents = 0, 0
+            for pdf in rows:
+                cnt += int(len(pdf))
+                cents += int(pdf["cents"].sum())
+            self._totals.update((cnt, cents))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str = "stream_test", output_mode: str = "append"
 ) -> DataFrame:

@@ -183,9 +183,20 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
     "multimodal_mpeg1_bframe",
     "multimodal_video_frames",
     "multimodal_y4m_video",
+    "multimodal_audio_mulaw",
 ])
 def test_media_decode_plans_are_shuffle_free(spark, entry):
     df = suite.registry()[entry].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
     assert "MapInPandas" in plan, plan[:1500]
+
+
+def test_quality_rule_filter_plan_is_map_only(spark):
+    """The rule filter claims one pass / zero shuffle / zero UDF: the
+    physical plan must be a pure scan+project pipeline — no Exchange,
+    no Python evaluation."""
+    df = suite.registry()["quality_rule_filter"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -131,8 +131,7 @@ def test_pagerank_join_gate_plan_shape(spark):
 
 
 def test_pagerank_all_dangling(spark):
-    # both nodes are each other's only predecessor... actually: one
-    # edge 1->2 and nothing else: 2 is dangling, its mass recycles
+    # one edge 1->2 and nothing else: 2 is dangling, its mass recycles
     edges = [(1, 2)]
     got = {
         r["node"]: r["pr"]
@@ -141,6 +140,56 @@ def test_pagerank_all_dangling(spark):
     ref = _pagerank_ref(edges, iters=1)
     for v in ref:
         assert got[v] == pytest.approx(ref[v], abs=1e-12)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    _edge_lists = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda ps: [(a, b) for a, b in ps if a != b])
+
+    @settings(max_examples=10, deadline=None)
+    @given(_edge_lists)
+    def test_pagerank_matches_dict_reference_on_random_graphs(spark, edges):
+        edges = sorted(set(edges))
+        if not edges:
+            return
+        got = {
+            r["node"]: r["pr"]
+            for r in pagerank(_edges(spark, edges), iters=2).collect()
+        }
+        ref = _pagerank_ref(edges, iters=2)
+        assert set(got) == set(ref)
+        for v, want in ref.items():
+            assert got[v] == pytest.approx(want, abs=1e-12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_edge_lists)
+    def test_triangles_match_bruteforce_on_random_graphs(spark, edges):
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+        if not und:
+            return
+        es = set(und)
+        nodes = sorted({u for e in und for u in e})
+        import itertools
+
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+        row = triangle_count(_edges(spark, und, cols=("a", "b"))).collect()[0]
+        assert row["n_triangles"] == want
+        assert row["n_edges"] == len(und)
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,103 @@ def test_upsert_publish_is_crash_safe(spark, tmp_path):
         .collect()
     }
     assert got == {("u1", "a1"), ("u2", "b2")}
+
+
+# ---------------------------------------------------------------------------
+# custom stateful running totals (r12): fold semantics + API gating
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_running_totals_fold_is_cumulative_across_batches():
+    import pandas as pd
+
+    state = _FakeState()
+    b1 = pd.DataFrame({"user_id": [7, 7], "cents": [100, 250]})
+    fold = ev.make_running_totals_fold()
+    out1 = list(fold((7,), iter([b1]), state))
+    assert out1[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 2, "total_cents": 350}
+    ]
+    b2 = pd.DataFrame({"user_id": [7], "cents": [-50]})
+    out2 = list(fold((7,), iter([b2]), state))
+    assert out2[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 3, "total_cents": 300}
+    ]
+    assert state.get == (3, 300)
+
+
+def test_tws_availability_probe_matches_import_reality():
+    try:
+        import google.protobuf  # noqa: F401
+
+        importable = True
+    except ImportError:
+        importable = False
+    assert ev.tws_available() == importable
+
+
+def test_transform_with_state_totals_if_available(spark, tmp_path):
+    """Exercises the REAL transformWithState path when its protobuf
+    dependency exists in the environment; otherwise skipped (the
+    suite entry falls back to the GroupState twin, which the oracle
+    gate covers)."""
+    if not ev.tws_available():
+        pytest.skip("google.protobuf not importable: transformWithState "
+                    "Python workers cannot start in this environment")
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = None
+    try:
+        saved = spark.conf.get(conf_key)
+    except Exception:
+        pass
+    try:
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        batch = load_events(spark, SF_SMOKE)
+        src = str(tmp_path / "src")
+        batch.repartitionByRange(2, "ts").write.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ev.run_to_completion(
+            ev.transform_with_state_totals(stream), "tws_unit",
+            output_mode="append",
+        )
+        final = (
+            out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+        )
+        want = {
+            (r["user_id"], r["n"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        got = {(r["user_id"], r["n"]) for r in final.collect()}
+        assert got == want
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
