@@ -3223,10 +3223,12 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
 
     def _parse_wav_companded(payload):
         """Manual RIFF walk for non-PCM WAVs the stdlib ``wave`` module
-        rejects: G.711 mu-law (fmt tag 7), expanded to 16-bit linear
-        via the standard decode form ``((man*8 + 132) << exp) - 132``
-        (Sun ulaw2linear; byte is complemented on the wire) —
-        vectorized, one numpy pass over the data chunk."""
+        rejects: G.711 mu-law (fmt tag 7, wire bytes complemented,
+        ``((man*8 + 132) << exp) - 132``) and G.711 A-law (fmt tag 6,
+        wire bytes XOR 0x55, segment form ``man*16+8`` / ``(man*16 +
+        264) << (seg-1)``), expanded to 16-bit linear — vectorized,
+        one numpy pass over the data chunk (Sun ulaw2linear /
+        alaw2linear forms)."""
         pos, fmt, data = 12, None, None
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
@@ -3239,13 +3241,27 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
         tag, nchan, rate = _struct.unpack("<HHI", fmt[:8])
-        if tag != 7:
+        if tag == 7:  # G.711 mu-law: wire bytes are complemented
+            u = (~_np.frombuffer(data, dtype=_np.uint8)) & 0xFF
+            man = (u & 0x0F).astype(_np.int64)
+            exp = ((u >> 4) & 0x07).astype(_np.int64)
+            mag = (((man << 3) + 0x84) << exp) - 0x84
+            samples = _np.where((u & 0x80) != 0, -mag, mag).tolist()
+        elif tag == 6:  # G.711 A-law: wire bytes are XORed with 0x55
+            u = _np.frombuffer(data, dtype=_np.uint8) ^ 0x55
+            man = (u & 0x0F).astype(_np.int64)
+            seg = ((u >> 4) & 0x07).astype(_np.int64)
+            base = man << 4
+            mag = _np.where(
+                seg == 0,
+                base + 8,
+                (base + 0x108) << _np.maximum(seg - 1, 0),
+            )
+            # A-law sign convention is inverted vs mu-law: bit 7 SET
+            # (after the 0x55 unscramble) means POSITIVE
+            samples = _np.where((u & 0x80) != 0, mag, -mag).tolist()
+        else:
             raise ValueError(f"WAV format tag {tag} unsupported")
-        u = (~_np.frombuffer(data, dtype=_np.uint8)) & 0xFF
-        man = (u & 0x0F).astype(_np.int64)
-        exp = ((u >> 4) & 0x07).astype(_np.int64)
-        mag = (((man << 3) + 0x84) << exp) - 0x84
-        samples = _np.where((u & 0x80) != 0, -mag, mag).tolist()
         return rate, nchan, len(data) // max(nchan, 1), samples
 
     def _parse_wav(payload):
@@ -3474,6 +3490,8 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
       ``200 + id%50`` codewords all equal to ``id % 256``, so the
       expanded magnitude — and therefore ``abs_sum`` — is the G.711
       closed form of the id (see ``_wav_mulaw``).
+    - ``alaw``: the A-law twin (fmt tag 6, XOR-0x55 wire scramble,
+      segment closed form; see ``_wav_alaw``).
     - ``jpeg``: REAL baseline JFIF, 16×16, grayscale when ``id%2 == 0``
       else YCbCr 4:4:4 with neutral chroma.  Each of the four 8×8
       blocks holds the constant luma ``Y_b = 2*((id + b) % 128)``
@@ -3497,9 +3515,9 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     Generation is a map-only ``mapInPandas`` (no shuffle); the closure
     is self-contained for worker shipping.
     """
-    if modality not in ("image", "png", "gif", "audio", "mulaw", "jpeg",
-                        "jpeg_progressive", "video", "y4m", "mpeg1",
-                        "mpeg1p", "mpeg1b"):
+    if modality not in ("image", "png", "gif", "audio", "mulaw", "alaw",
+                        "jpeg", "jpeg_progressive", "video", "y4m",
+                        "mpeg1", "mpeg1p", "mpeg1b"):
         raise ValueError(f"unknown modality {modality!r}")
 
     _encode_jpeg = (
@@ -3633,6 +3651,25 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 + (b"\x00" if len(data) & 1 else b"")
             )
             return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        def _wav_alaw(i):
+            # G.711 A-law WAV (fmt tag 6): 8 kHz mono, 200 + i%50
+            # samples, every codeword the constant byte i % 256; same
+            # manual RIFF container as _wav_mulaw.  Decoded magnitude
+            # is the segment closed form of u = (i%256) XOR 0x55:
+            # seg = (u//16)%8, man = u%16 ->
+            #   seg 0: man*16 + 8; else: (man*16 + 264) * 2^(seg-1)
+            n = 200 + i % 50
+            data = bytes([i % 256]) * n
+            fmt = _struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+            chunks = (
+                b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b"")
+            )
+            return (
+                b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
 
         def _jpeg(i):
             gray = i % 2 == 0
@@ -3830,6 +3867,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
             "gif": _gif,
             "audio": _wav,
             "mulaw": _wav_mulaw,
+            "alaw": _wav_alaw,
             "jpeg": _jpeg,
             "jpeg_progressive": _jpeg_prog,
             "video": _avi,

@@ -402,6 +402,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(social_edges(spark, sf_dir))
 
 
+LPA_ITERS = 2
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (community
+    detection): every node starts labeled with its own id; each
+    iteration every node adopts the most frequent label among its
+    NEIGHBORS, ties broken by the smallest label.  ``edges`` are
+    canonical undirected ``a < b`` pairs.  Returns (node, community).
+
+    Scale shape: per iteration one (node, label) hash agg over the
+    directed edge list and one argmin-by-struct re-aggregation — NO
+    per-node window sort (``min(struct(-count, label))`` does the
+    most-frequent-then-smallest selection inside the hash agg, one
+    task-side pass, so a hub node never forces a single-task sort of
+    its neighborhood).  Same checkpoint-per-iteration reuse policy as
+    pagerank/connected-components.  Fixed iterations keep the oracle a
+    finite chained-CTE unrolling."""
+    und = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        counts = (
+            und.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # most-frequent label, smallest on ties: argmin of the struct
+        # (-count, label) — a second hash agg, not a per-node window
+        best = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            )["l"].alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Chained-CTE unrolling of :func:`label_propagation` in DuckDB
+    SQL: per iteration a (node, label) count + a row_number argmin
+    (same (-count, label) order) + a coalesce join-back."""
+    parts = [
+        _SOCIAL_EDGES_SQL + ",",
+        "und AS (SELECT a AS node, b AS nbr FROM e "
+        "UNION ALL SELECT b, a FROM e),",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for i in range(iters):
+        p, q = f"l{i}", f"l{i + 1}"
+        parts.append(
+            f", c{i} AS (SELECT und.node, {p}.label, count(*) AS c "
+            f"FROM und JOIN {p} ON {p}.node = und.nbr "
+            "GROUP BY und.node, {0}.label)".format(p)
+        )
+        parts.append(
+            f", b{i} AS (SELECT node, label AS new_label FROM ("
+            "SELECT node, label, row_number() OVER ("
+            "PARTITION BY node ORDER BY c DESC, label) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f", {q} AS (SELECT {p}.node, "
+            f"coalesce(b{i}.new_label, {p}.label) AS label "
+            f"FROM {p} LEFT JOIN b{i} ON b{i}.node = {p}.node)"
+        )
+    parts.append(
+        f"SELECT node, label AS community FROM l{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle_sql(LPA_ITERS),
+    doc="§7 graph: synchronous label propagation (2 iterations, "
+    "most-frequent neighbor label, smallest on ties) over the same "
+    "deterministic user ring as graph_triangle_count.  The per-node "
+    "argmin runs INSIDE a hash agg via min(struct(-count, label)) — "
+    "no per-node window sort, so hub neighborhoods never serialize "
+    "into one task.  Fixed iterations keep the oracle a chained-CTE "
+    "unrolling; integer labels end to end, no float anywhere.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(social_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # weighted sampling (Efraimidis-Spirakis A-ES)
 # ---------------------------------------------------------------------------

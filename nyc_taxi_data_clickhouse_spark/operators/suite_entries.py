@@ -930,6 +930,45 @@ def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_alaw",
+    """
+    WITH m AS (
+      SELECT doc_id, xor(doc_id % 256, 85) AS u, 200 + doc_id % 50 AS n
+      FROM documents)
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * (CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+                          ELSE ((u % 16) * 16 + 264)
+                               * CAST(power(2, (u // 16) % 8 - 1) AS BIGINT)
+                     END) AS BIGINT) AS abs_sum
+    FROM m
+    """,
+    doc="§7 multimodal: REAL G.711 A-law decode — the mu-law twin "
+    "(fmt tag 6): per-doc 8 kHz WAVs carrying 200 + id%50 copies of "
+    "codeword id%256; the vectorized expander must reproduce the "
+    "spec's segment form (man*16+8 for segment 0, (man*16+264) << "
+    "(seg-1) above) on u = codeword XOR 0x55 — restated by the oracle "
+    "as integer arithmetic.  Together with multimodal_audio_mulaw the "
+    "full G.711 pair is gated.",
+)
+def multimodal_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        featurize_media,
+        pack_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = pack_media(synthesize_media(ids, "alaw"), "payload", "audio/basic")
+    return featurize_media(media, fake=False).select(
+        "media_id", "sample_rate", "n_samples", "abs_sum"
+    )
+
+
+@register(
     "multimodal_image_resize",
     """
     SELECT doc_id AS media_id,

@@ -222,6 +222,52 @@ def test_triangles_two_sharing_edge(spark):
 
 
 # ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_disjoint_triangles_converge_to_min_label(spark):
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+        label_propagation,
+    )
+
+    tris = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges(spark, tris, cols=("a", "b")), iters=2
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_path_sync_update_semantics(spark):
+    """Path 0-1-2, synchronous updates: iter1 gives (1, 0, 1) — the
+    middle node ties {0,2} and takes the min — iter2 gives (0, 1, 0).
+    Pins that updates read the PREVIOUS iteration's labels, not a
+    mid-iteration mix."""
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import (
+        label_propagation,
+    )
+
+    path = [(0, 1), (1, 2)]
+    it1 = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges(spark, path, cols=("a", "b")), iters=1
+        ).collect()
+    }
+    assert it1 == {0: 1, 1: 0, 2: 1}
+    it2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges(spark, path, cols=("a", "b")), iters=2
+        ).collect()
+    }
+    assert it2 == {0: 0, 1: 1, 2: 0}
+
+
+# ---------------------------------------------------------------------------
 # A-ES weighted sampling
 # ---------------------------------------------------------------------------
 
@@ -364,6 +410,44 @@ def test_mulaw_full_codeword_table():
     # sign symmetry: clearing the sign bit of the WIRE byte negates
     for c in range(0x80):
         assert _expand(c) == -_expand(c | 0x80)
+
+
+def _alaw_wav(codeword: int, n: int) -> bytes:
+    data = bytes([codeword]) * n
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _alaw_expand(byte: int) -> int:
+    u = byte ^ 0x55
+    man, seg = u & 0x0F, (u >> 4) & 7
+    mag = man * 16 + 8 if seg == 0 else (man * 16 + 264) << (seg - 1)
+    return mag if u & 0x80 else -mag
+
+
+def test_alaw_full_codeword_table():
+    """Canonical G.711 A-law anchors: 0x55 -> -8, 0xD5 -> +8,
+    0x2A -> -32256, 0xAA -> +32256; full 256-codeword round trip and
+    sign symmetry (bit 7 of the unscrambled byte SET = positive —
+    inverted vs mu-law)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import decode_media
+
+    assert _alaw_expand(0x55) == -8
+    assert _alaw_expand(0xD5) == 8
+    assert _alaw_expand(0x2A) == -32256
+    assert _alaw_expand(0xAA) == 32256
+    for c in range(256):
+        out = decode_media(_alaw_wav(c, 3), "audio/basic")
+        assert out["kind"] == "audio" and out["sample_rate"] == 8000
+        assert out["samples"] == [_alaw_expand(c)] * 3
+        assert out["abs_sum"] == 3 * abs(_alaw_expand(c))
+    for c in range(0x80):
+        assert _alaw_expand(c) == -_alaw_expand(c | 0x80)
 
 
 def test_mulaw_odd_length_word_padding():
