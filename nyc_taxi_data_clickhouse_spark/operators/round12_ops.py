@@ -22,6 +22,10 @@ pipeline that the registry did not yet cover.
   the only superlinear step — is skew-bounded by construction instead
   of exploding on hub nodes.  Wedge generation and the closing-edge
   probe are both equi-joins; no cartesian anywhere.
+- ``graph_label_propagation``: synchronous label propagation
+  (community detection) — per iteration one (node, label) hash agg
+  plus an argmin-by-struct re-aggregation, never a per-node window
+  sort.
 - ``weighted_sample_topk``: deterministic weighted sampling WITHOUT
   replacement (Efraimidis & Spirakis 2006, "Weighted random sampling
   with a reservoir": draw key u_i^(1/w_i), take the top k).  The
@@ -313,7 +317,8 @@ _SOCIAL_EDGES_SQL = """
 """
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame,
+                   node_broadcast_bound: int | None = None) -> DataFrame:
     """Count triangles in an undirected graph given canonical ``a < b``
     edges, via degree ordering: orient every edge from the endpoint
     with smaller ``(degree, id)`` toward the larger, generate wedges by
@@ -339,9 +344,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=True)
     )
+    # count-gated join strategy, same rationale as pagerank:
+    # checkpointed frames report "huge" stats, so without the gate the
+    # planner sort-merges even a 150-node graph; below the bound the
+    # degree table and the probe sides broadcast, above it they are
+    # hinted shuffle_hash (the closing probe's build side is the
+    # oriented edge list itself — never broadcastable at scale, but
+    # hash-joinable without sorting either side).  deg is checkpointed,
+    # so the gate count is a metadata-cheap scalar.
+    bound = (
+        RANK_BROADCAST_BOUND
+        if node_broadcast_bound is None
+        else node_broadcast_bound
+    )
+    if deg.count() <= bound:
+        small = F.broadcast
+    else:
+        small = lambda d: d.hint("shuffle_hash")  # noqa: E731
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    with_deg = edges.join(da, "a").join(db, "b")
+    with_deg = edges.join(small(da), "a").join(small(db), "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -351,11 +373,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, "u").filter(F.col("v") != F.col("w"))
+    wedges = e1.join(small(e2), "u").filter(F.col("v") != F.col("w"))
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"]).agg(
+    tri = wedges.join(small(closing), ["v", "w"]).agg(
         F.count("*").alias("n_triangles")
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))

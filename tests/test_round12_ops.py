@@ -471,3 +471,22 @@ def test_pcm_wav_path_unaffected():
         f.writeframes(struct.pack("<h", 123) * 4)
     out = decode_media(buf.getvalue(), "audio/wav")
     assert out["n_samples"] == 4 and out["abs_sum"] == 492
+
+
+def test_triangle_join_gate_plan_shape(spark):
+    """Below the node-count gate the degree and probe joins broadcast;
+    above it they are shuffled-hash — never sort-merge (checkpointed
+    frames report huge stats, which un-gated would sort-merge even a
+    4-node graph).  Counts must be identical across the gate."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    lo_df = triangle_count(_edges(spark, k4, cols=("a", "b")))
+    lo_plan = lo_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in lo_plan
+    assert "BroadcastHashJoin" in lo_plan
+    hi_df = triangle_count(
+        _edges(spark, k4, cols=("a", "b")), node_broadcast_bound=1
+    )
+    hi_plan = hi_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in hi_plan
+    assert "ShuffledHashJoin" in hi_plan
+    assert lo_df.collect() == hi_df.collect()
