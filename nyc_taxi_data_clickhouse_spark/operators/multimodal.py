@@ -3362,7 +3362,7 @@ def _build_decoder(feature_dim: int = FEATURE_DIM):
             raise NotImplementedError(
                 f"no stdlib codec for {mime!r} (magic {head[:4]!r}); "
                 "supported: netpbm P5/P6, 24-bpp BMP, 8-bit PNG, "
-                "baseline JPEG, GIF87a/89a, PCM/G.711-mu-law WAV — or "
+                "baseline JPEG, GIF87a/89a, PCM/G.711 mu-law/A-law WAV — or "
                 "run with fake=True for a deterministic stand-in feature"
             )
         return out

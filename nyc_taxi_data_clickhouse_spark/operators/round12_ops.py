@@ -95,10 +95,16 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY_CAST + post-cast null filter matches Spark's semantics exactly:
+# Spark's cast("long") yields NULL on a non-numeric k and the filter is
+# on the CAST value, so a malformed k is silently dropped in both
+# engines (a strict CAST here would instead error in DuckDB on input
+# Spark quietly drops — ADVICE r12)
 _EDGES_SQL = (
     "SELECT DISTINCT user_id AS src, "
-    f"{ITEM_OFFSET} + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst "
-    "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+    f"{ITEM_OFFSET} + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst "
+    "FROM events "
+    "WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL"
 )
 
 
@@ -533,6 +539,33 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNUTH = 2_654_435_761
 _SAMPLE_K = 50
 
+# (id * KNUTH) mod 2^32 computed overflow-safely in int64 (ADVICE r12):
+# the naive product overflows int64 for id > 2^63/KNUTH ~ 3.47e9 —
+# Spark (non-ANSI) wraps silently into negative remainders (u <= 0,
+# NaN keys) while DuckDB raises.  Reduce id mod 2^32 first, then split
+# the 32x32 multiply into 16-bit halves: with x = xh*2^16 + xl,
+#   x*K mod 2^32 = ((xh*K mod 2^16)*2^16 + xl*K mod 2^32) mod 2^32
+# and every intermediate stays below 2^48 — exact in both engines for
+# the FULL int64 id range, so the "reproducible across engines at
+# 100 TB" claim holds past 3.5e9 docs.
+_AES_H_SQL = (
+    "(((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536"
+    " + (((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296)"
+    " % 4294967296"
+)
+
+
+def aes_hash(id_col: Column) -> Column:
+    """``(id * _KNUTH) mod 2^32`` with no int64 overflow anywhere in
+    the id's range (split 16-bit halves, see module comment)."""
+    x = F.pmod(id_col.cast("long"), F.lit(2**32))
+    xh = F.floor(x / F.lit(65536)).cast("long")
+    xl = x % F.lit(65536)
+    return (
+        (xh * F.lit(_KNUTH)) % F.lit(65536) * F.lit(65536)
+        + (xl * F.lit(_KNUTH)) % F.lit(2**32)
+    ) % F.lit(2**32)
+
 
 def aes_key(id_col: Column | str, weight_col: Column | str) -> Column:
     """A-ES sampling key ``u^(1/w)`` with ``u`` a deterministic uniform
@@ -540,11 +573,11 @@ def aes_key(id_col: Column | str, weight_col: Column | str) -> Column:
     top k keys is exactly weighted sampling without replacement with
     inclusion probability proportional to w (Efraimidis & Spirakis
     2006).  Hash-derived u means no RNG state: reproducible across
-    retries, partitionings, and engines."""
+    retries, partitionings, and engines — and the hash is computed
+    overflow-safely so u stays in (0, 1] for every int64 id."""
     i = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    h = (i * F.lit(_KNUTH)) % F.lit(2**32)
-    u = (h + F.lit(1.0)) / F.lit(float(2**32))
+    u = (aes_hash(i) + F.lit(1.0)) / F.lit(float(2**32))
     return F.pow(u, F.lit(1.0) / w)
 
 
@@ -553,7 +586,7 @@ def aes_key(id_col: Column | str, weight_col: Column | str) -> Column:
     f"""
     SELECT rank, doc_id, n_chars FROM (
       SELECT row_number() OVER (
-               ORDER BY pow(((doc_id * {_KNUTH}) % 4294967296 + 1.0)
+               ORDER BY pow(({_AES_H_SQL} + 1.0)
                            / 4294967296.0, 1.0 / n_chars) DESC,
                         doc_id) AS rank,
              doc_id, n_chars
@@ -592,7 +625,7 @@ _PER_DOMAIN_K = 10
       SELECT source, doc_id, n_chars,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY pow(((doc_id * {_KNUTH}) % 4294967296 + 1.0)
+               ORDER BY pow(({_AES_H_SQL} + 1.0)
                            / 4294967296.0, 1.0 / n_chars) DESC,
                         doc_id) AS rank
       FROM documents WHERE n_chars > 0)

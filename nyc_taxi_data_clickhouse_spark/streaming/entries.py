@@ -300,14 +300,11 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
 
     from nyc_taxi_data_clickhouse_spark.streaming.events import (
         run_to_completion,
-        transform_with_state_totals,
-    )
-    from nyc_taxi_data_clickhouse_spark.suite import load_events
-
-    from nyc_taxi_data_clickhouse_spark.streaming.events import (
         running_totals_stream,
+        transform_with_state_totals,
         tws_available,
     )
+    from nyc_taxi_data_clickhouse_spark.suite import load_events
 
     use_tws = tws_available()
     conf_key = "spark.sql.streaming.stateStore.providerClass"

@@ -261,7 +261,17 @@ def tws_available() -> bool:
     run: its driver-side state server speaks protobuf, so the
     ``google.protobuf`` package must be importable in the Python
     workers.  This container ships pyspark without protobuf, so the
-    probe gates the API the same way optional codecs are gated."""
+    probe gates the API the same way optional codecs are gated.
+
+    LIMITATION (ADVICE r12): the probe runs on the DRIVER.  In local
+    mode (this repo's execution model) driver == workers, so it is
+    exact; on a real cluster with heterogeneous Python environments a
+    driver-side True does not prove the workers can import protobuf —
+    there, probe worker-side instead (e.g. a one-row ``mapInPandas``
+    that imports google.protobuf) before selecting the
+    transformWithState path, or pin the worker env.  Kept driver-only
+    here because a probe job per streaming query is real cost and
+    local mode cannot diverge."""
     import importlib.util
 
     return (

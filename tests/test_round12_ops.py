@@ -286,6 +286,65 @@ def test_aes_key_matches_python(spark):
         assert got[i] == pytest.approx(u ** (1.0 / w), rel=1e-15)
 
 
+_HUGE_IDS = [
+    1,
+    2**31,
+    3_470_000_000,        # just past 2^63 // _KNUTH — naive product overflows
+    2**32 - 1,
+    2**32,
+    2**40 + 12345,
+    2**62 + 999,
+    2**63 - 1,
+]
+
+
+def test_aes_hash_overflow_safe_full_int64_range(spark):
+    """ADVICE r12: ids past ~3.47e9 overflow the naive int64 product
+    (silently wrapping into negative remainders -> NaN keys).  The
+    split-halves hash must equal Python bigint arithmetic and stay in
+    [0, 2^32) for the FULL int64 id range."""
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import aes_hash
+
+    df = spark.createDataFrame([(i,) for i in _HUGE_IDS], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", aes_hash(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    for i in _HUGE_IDS:
+        assert got[i] == (i * _KNUTH) % 2**32, i
+        assert 0 <= got[i] < 2**32
+
+
+def test_aes_hash_oracle_sql_matches_on_huge_ids():
+    """The DuckDB restatement must compute the identical hash on the
+    same huge ids — and not raise on overflow (every intermediate in
+    the split-halves form stays below 2^48)."""
+    import duckdb
+
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import _AES_H_SQL
+
+    con = duckdb.connect()
+    for i in _HUGE_IDS:
+        (h,) = con.execute(
+            f"SELECT {_AES_H_SQL} AS h FROM (SELECT CAST({i} AS BIGINT) AS doc_id)"
+        ).fetchone()
+        assert h == (i * _KNUTH) % 2**32, i
+
+
+def test_aes_key_positive_for_huge_ids(spark):
+    """The end-to-end key u^(1/w) must be a real number in (0, 1] —
+    never NaN — even where the naive hash would have gone negative."""
+    from nyc_taxi_data_clickhouse_spark.operators.round12_ops import aes_key
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in _HUGE_IDS], "doc_id long, n_chars long"
+    )
+    ks = [r["k"] for r in df.select(aes_key("doc_id", "n_chars").alias("k")).collect()]
+    assert all(0.0 < k <= 1.0 for k in ks), ks
+
+
 def test_aes_heavier_weights_win_in_expectation():
     # weight 1000 vs weight 1: the heavy item's key u^(1/1000) is
     # near 1 for almost any u; over many id pairs the heavy item's
