@@ -584,20 +584,29 @@ def main() -> None:
         headline["scan_rows"] = scan["rows"]
         headline["scan_best_sec"] = scan["query_best_sec"]
 
+    persist_payload(local_path, full)
+    # compact headline LAST on stdout — must fit the driver's tail buffer
+    print(json.dumps(headline))
+
+
+def persist_payload(local_path: Path, full: dict) -> bool:
+    """Write the full payload to ``BENCH_local_r{N}.json`` — unless
+    BENCH_MERGE=0, which marks a scratch/solo re-measure that must
+    NEVER overwrite the round's committed best-of-runs payload with an
+    unmerged (often subset) run: a r12 smoke run with BENCH_MERGE=0
+    clobbered the 4-run payload and the next full run merged against
+    the wreckage.  Returns True iff the file was written (the guard is
+    a function so tests/test_bench_regressions.py can pin it —
+    VERDICT r12 item 8)."""
     if os.environ.get("BENCH_MERGE", "1") == "0":
-        # scratch/solo re-measure: NEVER overwrite the round's committed
-        # best-of-runs payload with an unmerged (often subset) run — a
-        # r12 smoke run with BENCH_MERGE=0 clobbered the 4-run payload
-        # and the next full run merged against the wreckage
         print(
             f"BENCH_MERGE=0: scratch run, {local_path.name} NOT written",
             file=sys.stderr,
         )
-    else:
-        local_path.write_text(json.dumps(full, indent=2) + "\n")
-        print(f"full payload -> {local_path.name}", file=sys.stderr)
-    # compact headline LAST on stdout — must fit the driver's tail buffer
-    print(json.dumps(headline))
+        return False
+    local_path.write_text(json.dumps(full, indent=2) + "\n")
+    print(f"full payload -> {local_path.name}", file=sys.stderr)
+    return True
 
 
 if __name__ == "__main__":

@@ -230,3 +230,23 @@ def test_merge_best_of_runs_picks_per_query_best(tmp_path):
         assert runs3 == 1 and pq3 == {"q1": 9.0}
     finally:
         del os.environ["BENCH_MERGE"]
+
+
+def test_bench_merge_zero_never_touches_committed_payload(tmp_path, monkeypatch):
+    """VERDICT r12 item 8: a BENCH_MERGE=0 invocation must leave the
+    round's committed BENCH_local_r{N}.json byte-identical — the r12
+    incident was a smoke run clobbering the 4-run merged payload."""
+    committed = '{"queries": {"q1": 1.0}, "merged_runs": 4}\n'
+    path = tmp_path / "BENCH_local_r12.json"
+    path.write_text(committed)
+
+    monkeypatch.setenv("BENCH_MERGE", "0")
+    wrote = bench.persist_payload(path, {"queries": {"q1": 9.9}})
+    assert wrote is False
+    assert path.read_text() == committed
+
+    # and the guard must not block a normal merged run
+    monkeypatch.delenv("BENCH_MERGE", raising=False)
+    wrote = bench.persist_payload(path, {"queries": {"q1": 2.0}})
+    assert wrote is True
+    assert '"q1": 2.0' in path.read_text()

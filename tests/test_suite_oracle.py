@@ -154,6 +154,44 @@ def test_driver_window_drains_trust_bound_violations():
     )
 
 
+REGISTRY_CAP = 200  # COVERAGE.md intake policy (VERDICT r12 item 7)
+
+
+def test_intake_leaves_room_for_must_reverify_cohort():
+    """Intake policy (COVERAGE.md, decided r13): the registry is capped
+    at REGISTRY_CAP entries (4 full driver cohorts — the zero-slack
+    steady state that keeps the soft staleness bound of 4 met
+    outright), and never-verified intake may only take window slots the
+    must-reverify cohort does not need.  Concretely: the entries that
+    will hit MUST_REVERIFY_AGE at the NEXT driver round (age >=
+    MUST_REVERIFY_AGE - 1 now) plus all never-verified entries must fit
+    the window TOGETHER — a strictly tighter bound than the hard-cap
+    drain test, enforcing the soft bound by construction."""
+    from nyc_taxi_data_clickhouse_spark import suite
+
+    reg = suite.registry()
+    assert len(reg) <= REGISTRY_CAP, (
+        f"registry has {len(reg)} entries, over the {REGISTRY_CAP} cap — "
+        f"consolidate or retire an entry (one-in-one-out policy) before "
+        f"registering new ones"
+    )
+    rounds = suite._driver_verified_rounds()
+    if not rounds:
+        return
+    latest = max(rounds.values())
+    never = sum(1 for n in reg if n not in rounds)
+    due_next = sum(
+        1 for r in rounds.values()
+        if latest - r >= suite.MUST_REVERIFY_AGE - 1
+    )
+    assert never + due_next <= suite.DRIVER_WINDOW, (
+        f"{never} never-verified + {due_next} due-at-next-round entries "
+        f"exceed the {suite.DRIVER_WINDOW}-slot window: intake this round "
+        f"is over the COVERAGE.md policy cap of "
+        f"{suite.DRIVER_WINDOW} - {due_next} new entries"
+    )
+
+
 def test_cumulative_driver_coverage_complete():
     """VERDICT r10 item 5: set-union guard, committed as a test — every
     registry entry must either be hash-green in the union of ALL driver
