@@ -109,6 +109,10 @@ DEFAULT_QUERIES = [
     # rationale as the codec tier
     "graph_pagerank",
     "graph_triangle_count",
+    # VERDICT r12 item 2: label propagation shares the iterative-join /
+    # checkpoint pattern with pagerank but had no tripwire row — a skew
+    # or constant-factor regression in it was invisible round-over-round
+    "graph_label_propagation",
 ]
 
 

@@ -116,6 +116,11 @@ OPS = {
     # edges by the arboricity bound.
     "graph_pagerank": "events",
     "graph_triangle_count": "events",
+    # r13 (VERDICT r12 item 2): same iterative-join family and the
+    # same skewed-hub axis — the per-node argmin must stay inside the
+    # hash agg (min(struct)) however large the hub neighborhoods get;
+    # expected linear in edges, zero spill
+    "graph_label_propagation": "events",
 }
 
 
