@@ -243,6 +243,7 @@ def registry() -> dict[str, QuerySpec]:
     from nyc_taxi_data_clickhouse_spark.operators import round9_ops  # noqa: F401
     from nyc_taxi_data_clickhouse_spark.operators import round10_ops  # noqa: F401
     from nyc_taxi_data_clickhouse_spark.operators import round12_ops  # noqa: F401
+    from nyc_taxi_data_clickhouse_spark.operators import round13_ops  # noqa: F401
 
     verified = _driver_verified_rounds()
     order = list(_REGISTRY)

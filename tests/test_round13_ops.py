@@ -1,0 +1,170 @@
+"""Round-13 operators: Count-Min heavy hitters and BPE pair-merge
+counting — hand fixtures pinning the sketch arithmetic, the
+over-estimate invariant, and the vocabulary-scale counting shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_clickhouse_spark.operators.round13_ops import (
+    _FP_MOD,
+    _KNUTH,
+    CMS_DEPTH,
+    CMS_SEED_STRIDE,
+    CMS_WIDTH,
+    bpe_pair_merge,
+    cms_bucket,
+    countmin_heavy_hitters,
+    countmin_sketch,
+    term_counts,
+    term_fingerprint,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _py_fp(term: str) -> int:
+    acc = 0
+    for ch in term:
+        acc = (acc * 31 + ord(ch)) % _FP_MOD
+    return acc
+
+
+def _py_bucket(fp: int, j: int) -> int:
+    return ((fp + j * CMS_SEED_STRIDE) * _KNUTH) % 2**32 % CMS_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_term_fingerprint_matches_python_and_bounded(spark):
+    terms = ["a", "join", "zebra", "x" * 40]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["fp"]
+        for r in df.select("term", term_fingerprint("term").alias("fp")).collect()
+    }
+    for t in terms:
+        assert got[t] == _py_fp(t)
+        assert 0 <= got[t] < 2**30  # the no-overflow precondition
+
+
+def test_cms_bucket_matches_python(spark):
+    df = spark.createDataFrame(
+        [(fp, j) for fp in (0, 1, 96354, _FP_MOD - 1) for j in range(CMS_DEPTH)],
+        "fp long, j long",
+    )
+    rows = df.select(
+        "fp", "j", cms_bucket(F.col("fp"), F.col("j")).alias("b")
+    ).collect()
+    for r in rows:
+        assert r["b"] == _py_bucket(r["fp"], r["j"])
+        assert 0 <= r["b"] < CMS_WIDTH
+
+
+def test_cms_estimate_never_underestimates(spark, tmp_path):
+    # 300 distinct terms >> 64 buckets forces collisions in every row
+    texts = [" ".join(f"term{i:03d}" for i in range(300))] * 2
+    _docs(spark, texts).write.parquet(str(tmp_path / "documents.parquet"))
+    out = countmin_heavy_hitters(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    assert all(r["over_ok"] for r in out)
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in out)
+
+
+def test_cms_sketch_is_bounded_and_exact_without_collisions(spark):
+    # 3 terms in 64 buckets: no collisions (verified via the python
+    # model), so min over rows recovers the exact count
+    counts = spark.createDataFrame(
+        [("alpha", 5), ("beta", 3), ("gamma", 2)], "term string, cnt long"
+    )
+    buckets = {
+        (j, _py_bucket(_py_fp(t), j))
+        for t in ("alpha", "beta", "gamma")
+        for j in range(CMS_DEPTH)
+    }
+    assert len(buckets) == 3 * CMS_DEPTH, "fixture must be collision-free"
+    rows, sketch = countmin_sketch(counts)
+    got = sketch.collect()
+    assert len(got) <= CMS_DEPTH * CMS_WIDTH
+    est = (
+        rows.join(sketch, ["j", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("counter").alias("e"))
+        .collect()
+    )
+    assert {(r["term"], r["e"]) for r in est} == {
+        ("alpha", 5), ("beta", 3), ("gamma", 2)
+    }
+
+
+def test_term_counts_tokenization_contract(spark, tmp_path):
+    # \x0B is whitespace per the repo contract; empty docs drop
+    texts = ["The\x0bthe THE", "  ", ""]
+    _docs(spark, texts).write.parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["term"]: r["cnt"] for r in term_counts(docs).collect()}
+    assert got == {"the": 3}
+
+
+# ---------------------------------------------------------------------------
+# BPE pair-merge counting
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_fixture(spark, tmp_path):
+    # words: aaab x2, ab x1, z x1 (dropped: length 1)
+    # aaab pairs: aa, aa, ab  -> x2 = aa:4, ab:2 ; ab adds ab:1
+    _docs(spark, ["aaab ab z", "aaab"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = bpe_pair_merge(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["pair"], r["cnt"]) for r in out] == [
+        (1, "aa", 4),
+        (2, "ab", 3),
+    ]
+
+
+def test_bpe_counts_weight_by_word_frequency_not_distinct(spark, tmp_path):
+    # "xy" appears 5 times as a word: pair xy must count 5, not 1
+    _docs(spark, ["xy xy xy", "xy xy"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = bpe_pair_merge(spark, str(tmp_path)).collect()
+    assert [(r["pair"], r["cnt"]) for r in out] == [("xy", 5)]
+
+
+def test_bpe_tie_break_is_total(spark, tmp_path):
+    # ab and ba both appear twice: tie broken by pair ascending
+    _docs(spark, ["ab ba", "ab ba"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = bpe_pair_merge(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["pair"]) for r in out] == [(1, "ab"), (2, "ba")]
+
+
+def test_round13_plans_are_vocab_scale(spark):
+    """Plan hygiene: no cartesian, no Python eval, no sort-merge join,
+    and the CMS sketch join is broadcast — the corpus-scale work is
+    hash aggregation only."""
+    import io
+    from contextlib import redirect_stdout
+
+    for fn, want_bhj in ((countmin_heavy_hitters, 1), (bpe_pair_merge, 0)):
+        df = fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        assert "Cartesian" not in tree
+        assert "EvalPython" not in tree
+        assert "SortMergeJoin" not in tree
+        assert tree.count("BroadcastHashJoin") == want_bhj

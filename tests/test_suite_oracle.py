@@ -29,12 +29,14 @@ def _rows_only_cases():
     ]
 
 
-@pytest.mark.parametrize(
-    "name,spec", _rows_only_cases(), ids=[n for n, _ in _rows_only_cases()]
-)
-def test_rows_only_queries_run(spark, name, spec):
-    df = spec.spark(spark, SF_CORRECTNESS)
-    assert df.count() >= 0
+def test_rows_only_queries_run(spark):
+    """Entries without an oracle get a rows-only smoke run.  Currently
+    every registry entry carries an oracle, so this passes vacuously —
+    a plain loop rather than parametrize, because an empty parametrize
+    list manufactures a phantom SKIP in every report."""
+    for name, spec in _rows_only_cases():
+        df = spec.spark(spark, SF_CORRECTNESS)
+        assert df.count() >= 0, name
 
 
 def test_entry_smoke(spark):
