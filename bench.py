@@ -113,6 +113,10 @@ DEFAULT_QUERIES = [
     # checkpoint pattern with pagerank but had no tripwire row — a skew
     # or constant-factor regression in it was invisible round-over-round
     "graph_label_propagation",
+    # round-13 sketch/tokenizer family: tracked from birth (the r12
+    # lesson — a new family gets a baseline row the round it lands)
+    "countmin_heavy_hitters",
+    "bpe_pair_merge",
 ]
 
 

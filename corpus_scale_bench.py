@@ -121,6 +121,12 @@ OPS = {
     # hash agg (min(struct)) however large the hub neighborhoods get;
     # expected linear in edges, zero spill
     "graph_label_propagation": "events",
+    # r13: both reduce the corpus to one hash agg (term/word counts);
+    # everything downstream is vocabulary-scale.  Verbatim replication
+    # grows corpus token count linearly while the vocab stays fixed —
+    # expected: linear CPU in the first agg, flat downstream, zero spill
+    "countmin_heavy_hitters": "verbatim",
+    "bpe_pair_merge": "verbatim",
 }
 
 
