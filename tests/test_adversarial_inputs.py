@@ -54,6 +54,12 @@ PROBED = [
     # the entry must stay total alongside the mutated documents table)
     "pii_scrub_documents",
     "url_canonical_dedup",
+    # round-12/13: the rule filter's integer cross-multiplications and
+    # the sketch/tokenizer pair's char-level hashing over empty,
+    # whitespace-only, single-token, and multibyte-unicode documents
+    "quality_rule_filter",
+    "countmin_heavy_hitters",
+    "bpe_pair_merge",
 ]
 
 

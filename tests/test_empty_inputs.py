@@ -64,6 +64,14 @@ PROBED = [
     "pii_scrub_documents",
     "url_canonical_dedup",
     "streaming_pii_scrub",
+    # round-12/13 additions: iterative graph ops (empty edge set must
+    # not break the checkpoint/count-gate path), the sketch family,
+    # and the sampling pair
+    "graph_pagerank",
+    "graph_label_propagation",
+    "weighted_sample_topk",
+    "countmin_heavy_hitters",
+    "bpe_pair_merge",
 ]
 
 

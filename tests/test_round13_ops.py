@@ -57,6 +57,30 @@ def test_term_fingerprint_matches_python_and_bounded(spark):
         assert 0 <= got[t] < 2**30  # the no-overflow precondition
 
 
+def test_term_fingerprint_unicode_parity_spark_duckdb_python(spark):
+    """Both engines split by '' per CHARACTER (not byte) and return
+    the full codepoint from ascii() — so the char-poly fingerprint is
+    engine-identical even on multibyte unicode terms, and a non-ASCII
+    corpus cannot silently break the oracle's byte-exactness."""
+    import duckdb
+
+    from nyc_taxi_data_clickhouse_spark.operators.round13_ops import _FP_SQL
+
+    terms = ["naïve", "东京", "🚀x", "café"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["fp"]
+        for r in df.select("term", term_fingerprint("term").alias("fp")).collect()
+    }
+    con = duckdb.connect()
+    for t in terms:
+        assert got[t] == _py_fp(t), t
+        (sql_fp,) = con.execute(
+            f"SELECT {_FP_SQL} FROM (SELECT ? AS term)", [t]
+        ).fetchone()
+        assert sql_fp == _py_fp(t), t
+
+
 def test_cms_bucket_matches_python(spark):
     df = spark.createDataFrame(
         [(fp, j) for fp in (0, 1, 96354, _FP_MOD - 1) for j in range(CMS_DEPTH)],
