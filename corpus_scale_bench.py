@@ -127,6 +127,15 @@ OPS = {
     # expected: linear CPU in the first agg, flat downstream, zero spill
     "countmin_heavy_hitters": "verbatim",
     "bpe_pair_merge": "verbatim",
+    # r13: exact order-stats family — the last heavy headline family
+    # without a decade probe.  Lineitem replication keeps VALUES
+    # verbatim (answers factor-invariant) while per-group value counts
+    # grow linearly: exactly the axis where the builtin value-buffering
+    # percentile OOMs and the bracket path claims bounded memory.
+    # Expected: linear CPU, zero spill, flat small shuffles (the
+    # bracket's per-group scalars never grow with the factor).
+    "exact_median_bracket": "lineitem",
+    "mad_outliers": "lineitem",
 }
 
 
@@ -218,12 +227,37 @@ def _replicate_events(spark, base: str, out: Path, factor: int):
     )
 
 
+def _replicate_lineitem(spark, base: str, out: Path, factor: int):
+    """Replicated lineitem for the exact order-stats family: values
+    are kept VERBATIM so per-group medians/MADs are factor-invariant
+    (the oracle-checked answers never change) while every group's VALUE
+    COUNT grows linearly — exactly the axis on which Spark's builtin
+    value-buffering percentile OOMs and the bracket path claims
+    bounded memory.  Keys are re-spanned so row identity stays unique;
+    all 16 columns are written (column pruning means the ops read only
+    2 — the replica doesn't cheat the scan)."""
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    span = li.agg(F.max("l_orderkey") + 1).first()[0]
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * F.lit(span)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .drop("rep")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+
+
 def materialize(spark, base: str, factor: int) -> dict[str, str]:
     """Build (or reuse) the factor's data dirs; returns mode -> sf_dir.
     Each sf_dir exposes the replicated table plus symlinks to every
     other base table so any op's load_table calls resolve."""
     dirs = {}
-    for mode in ("verbatim", "salted", "embeddings", "events"):
+    for mode in ("verbatim", "salted", "embeddings", "events", "lineitem"):
         root = CACHE / f"x{factor}" / mode
         marker = root / "_DONE"
         if not marker.exists():
@@ -235,6 +269,10 @@ def materialize(spark, base: str, factor: int) -> dict[str, str]:
             elif mode == "events":
                 _replicate_events(
                     spark, base, root / "events.parquet", factor
+                )
+            elif mode == "lineitem":
+                _replicate_lineitem(
+                    spark, base, root / "lineitem.parquet", factor
                 )
             else:
                 _replicate_docs(
@@ -338,6 +376,7 @@ def main() -> None:
         "doc": spark.read.parquet(f"{base}/documents.parquet").count(),
         "emb": spark.read.parquet(f"{base}/embeddings.parquet").count(),
         "ev": load_events(spark, base).count(),
+        "li": spark.read.parquet(f"{base}/lineitem.parquet").count(),
     }
 
     dirs_by_factor = {f: materialize(spark, base, f) for f in factors}
@@ -384,7 +423,8 @@ def main() -> None:
             pts.append((f, sec))
             nrows = (
                 base_rows[
-                    {"embeddings": "emb", "events": "ev"}.get(mode, "doc")
+                    {"embeddings": "emb", "events": "ev",
+                     "lineitem": "li"}.get(mode, "doc")
                 ]
                 * f
             )
