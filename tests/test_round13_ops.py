@@ -192,3 +192,94 @@ def test_round13_plans_are_vocab_scale(spark):
         assert "EvalPython" not in tree
         assert "SortMergeJoin" not in tree
         assert tree.count("BroadcastHashJoin") == want_bhj
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    _corpora = st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz0", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    def _via_parquet(spark, texts, fn):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="r13_hyp_")
+        try:
+            _docs(spark, texts).write.parquet(f"{d}/documents.parquet")
+            return fn(spark, d).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _py_words(texts, min_len):
+        import re
+        from collections import Counter
+
+        c = Counter()
+        for t in texts:
+            if not t.strip():
+                continue
+            for w in re.split(r"[ \t\n\x0B\f\r]+", t.strip().lower()):
+                if len(w) >= min_len:
+                    c[w] += 1
+        return c
+
+    @settings(max_examples=10, deadline=None)
+    @given(_corpora)
+    def test_bpe_matches_python_model_on_random_corpora(spark, texts):
+        from collections import Counter
+
+        words = _py_words(texts, 2)
+        pairs = Counter()
+        for w, n in words.items():
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += n
+        want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r["pair"], r["cnt"])
+            for r in sorted(
+                _via_parquet(spark, texts, bpe_pair_merge),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
+
+    @settings(max_examples=10, deadline=None)
+    @given(_corpora)
+    def test_cms_matches_python_model_on_random_corpora(spark, texts):
+        from collections import defaultdict
+
+        exact = _py_words(texts, 1)
+        sketch = defaultdict(int)
+        for t, n in exact.items():
+            for j in range(CMS_DEPTH):
+                sketch[(j, _py_bucket(_py_fp(t), j))] += n
+        est = {
+            t: min(sketch[(j, _py_bucket(_py_fp(t), j))] for j in range(CMS_DEPTH))
+            for t in exact
+        }
+        want = [
+            (t, exact[t], est[t], est[t] >= exact[t])
+            for t in sorted(exact, key=lambda t: (-exact[t], t))[:20]
+        ]
+        got = [
+            (r["term"], r["exact_cnt"], r["cms_estimate"], r["over_ok"])
+            for r in sorted(
+                _via_parquet(spark, texts, countmin_heavy_hitters),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
