@@ -1998,6 +1998,42 @@ def _build_mpeg1_codec():
             bits += format(a - 1 - f * (code - 1), f"0{f.bit_length() - 1}b")
         return bits
 
+    def _check_b_skip_in_frame(last_pred, row, col, width, height):
+        """A skipped B macroblock repeats the previous macroblock's
+        prediction (mode AND vectors, 2.4.4.4) at its own address —
+        validate that the inherited half-pel vectors still reference
+        inside the picture at (row, col) for both the 16x16 luma and
+        the 8x8 chroma (chroma vectors are luma/2 truncated toward
+        zero).  MPEG-1 has no unrestricted-vector mode, so a stream
+        violating this is not decodable."""
+        if last_pred is None:  # unreachable: col 0 cannot skip
+            raise ValueError("skipped B macroblock has no prior prediction")
+        for mv in last_pred:
+            if mv is None:
+                continue
+            for (mvx, mvy, x0, y0, size, w_lim, h_lim) in (
+                (mv[0], mv[1], col * 16, row * 16, 16, width, height),
+                (
+                    abs(mv[0]) // 2 * (1 if mv[0] >= 0 else -1),
+                    abs(mv[1]) // 2 * (1 if mv[1] >= 0 else -1),
+                    col * 8, row * 8, 8, width // 2, height // 2,
+                ),
+            ):
+                ix, hx = mvx >> 1, mvx & 1
+                iy, hy = mvy >> 1, mvy & 1
+                if (
+                    x0 + ix < 0 or y0 + iy < 0
+                    or x0 + ix + size + hx > w_lim
+                    or y0 + iy + size + hy > h_lim
+                ):
+                    raise ValueError(
+                        f"skipped B macroblock at (row {row}, col {col}) "
+                        f"inherits motion vector {tuple(mv)} that "
+                        "references outside the picture — re-code the "
+                        "macroblock with an in-frame vector instead of "
+                        "skipping it"
+                    )
+
     def encode_mpeg1(width, height, picture_rate_code, frames,
                      quantizer_scale=8, ac_short=False, forward_f_code=4,
                      backward_f_code=4):
@@ -2206,6 +2242,9 @@ def _build_mpeg1_codec():
                 pmv = [0, 0]             # forward motion predictor
                 pmvb = [0, 0]            # backward motion predictor (B)
                 prev_intra = False       # B-skip legality tracking
+                last_pred = None         # (fmv, bmv) of the previous
+                #                          predicted B MB — a skipped B
+                #                          MB REPEATS it at a new column
                 inc = 1
                 for col in range(mb_cols):
                     mb = mbs[row * mb_cols + col]
@@ -2220,6 +2259,17 @@ def _build_mpeg1_codec():
                                 "skipped B macroblock cannot follow an "
                                 "intra macroblock (it repeats the "
                                 "previous prediction)"
+                            )
+                        if is_b:
+                            # the inherited vectors are applied at THIS
+                            # column: a vector that was in-frame where it
+                            # was coded can reference outside the picture
+                            # here, and MPEG-1 has no unrestricted-vector
+                            # mode — reject the GOP spec at authoring
+                            # time instead of letting the decoder fail
+                            # mid-stream
+                            _check_b_skip_in_frame(
+                                last_pred, row, col, width, height
                             )
                         inc += 1
                         if is_p:
@@ -2247,6 +2297,7 @@ def _build_mpeg1_codec():
                     prev_intra = False
                     if is_b:
                         fmv, bmv = mb.get("fmv"), mb.get("bmv")
+                        last_pred = (fmv, bmv)
                         blocks = mb["blocks"]
                         cbp = _derive_cbp(blocks, "B")
                         if fmv is None and bmv is None:

@@ -1133,9 +1133,31 @@ def test_mpeg1_bframe_roundtrip_vs_independent_model(data):
     b_mbs = []
     pmvf = pmvb = 0
     last_intra = True
+    last_pred = None  # (fmv, bmv) a skip would inherit
+
+    def _mv_in_frame_at(mv, x0):
+        # skip repeats the previous prediction at a NEW column: the
+        # inherited half-pel vector must stay inside the picture for
+        # the 16-wide luma AND the 8-wide chroma (luma/2 trunc) there
+        if mv is None:
+            return True
+        for mvx, col0, size, lim in (
+            (mv[0], x0, 16, W),
+            (abs(mv[0]) // 2 * (1 if mv[0] >= 0 else -1), x0 // 2, 8, W // 2),
+        ):
+            ix, hx = mvx >> 1, mvx & 1
+            if col0 + ix < 0 or col0 + ix + size + hx > lim:
+                return False
+        return True
+
     for mbi in range(4):
         kinds = ["fwd", "bwd", "interp", "intra"]
-        if mbi in (1, 2) and not last_intra:
+        if (
+            mbi in (1, 2)
+            and not last_intra
+            and last_pred is not None
+            and all(_mv_in_frame_at(mv, mbi * 16) for mv in last_pred)
+        ):
             kinds.append("skip")
         kind = data.draw(st.sampled_from(kinds))
         if kind == "skip":
@@ -1169,6 +1191,7 @@ def test_mpeg1_bframe_roundtrip_vs_independent_model(data):
             [[lvl] + [0] * 63] * 4 + [None, None] if lvl else [None] * 6
         )
         b_mbs.append({"fmv": fmv, "bmv": bmv, "blocks": blocks})
+        last_pred = (fmv, bmv)
     payload = enc(W, 16, 3, [i_mbs, {"type": "B", "mbs": b_mbs}, p_pic],
                   quantizer_scale=5)
     v = dec(payload)
@@ -1258,6 +1281,22 @@ def test_mpeg1_bframe_encoder_validation():
         enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
             bmb, {"fmv": None, "bmv": (0, -40), "blocks": [None] * 6},
             bmb, bmb]}, p_pic], backward_f_code=2)
+    # skipped B macroblock inheriting a vector that goes out of frame
+    # at the skipped address: fwd +33 half-pel is legal at column 0
+    # (0 + 16 + 16 + 1 <= 64) but NOT at skipped column 2
+    # (32 + 16 + 16 + 1 > 64) — the hypothesis-found r13 case; the
+    # encoder must reject the GOP spec instead of authoring a stream
+    # the decoder cannot motion-compensate
+    with pytest.raises(ValueError, match="references outside the picture"):
+        enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
+            {"fmv": (33, 0), "bmv": None, "blocks": [None] * 6},
+            "skip", "skip", bmb]}, p_pic])
+    # the same inherited vector used only at a VALID skipped address
+    # must still encode and decode cleanly (the guard is per-address)
+    payload = enc(64, 16, 3, [i_mbs, {"type": "B", "mbs": [
+        {"fmv": (33, 0), "bmv": None, "blocks": [None] * 6},
+        "skip", bmb, bmb]}, p_pic])
+    assert pix(dec(payload), 1)[0] == 64
 
 
 def test_mpeg1_bframe_dual_predictors_independent():
