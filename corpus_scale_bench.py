@@ -245,7 +245,6 @@ def _replicate_lineitem(spark, base: str, out: Path, factor: int):
             (F.col("l_orderkey") + F.col("rep") * F.lit(span)).alias("l_orderkey"),
             *[c for c in li.columns if c != "l_orderkey"],
         )
-        .drop("rep")
         .repartition(max(4, factor))
         .write.mode("overwrite")
         .parquet(str(out))

@@ -548,9 +548,14 @@ _SAMPLE_K = 50
 # and every intermediate stays below 2^48 — exact in both engines for
 # the FULL int64 id range, so the "reproducible across engines at
 # 100 TB" claim holds past 3.5e9 docs.
+#: pmod(doc_id, 2^32) in SQL — DuckDB's % is sign-preserving while
+#: Spark's pmod is always non-negative, so the restatement must add
+#: the modulus back before reducing again or a negative id would feed
+#: pow() a negative base (NaN) only on the DuckDB side
+_AES_X_SQL = "((doc_id % 4294967296 + 4294967296) % 4294967296)"
 _AES_H_SQL = (
-    "(((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536"
-    " + (((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296)"
+    f"(((({_AES_X_SQL} // 65536) * 2654435761) % 65536) * 65536"
+    f" + (({_AES_X_SQL} % 65536) * 2654435761) % 4294967296)"
     " % 4294967296"
 )
 

@@ -40,9 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_clickhouse_spark.operators.text import tokens
 from nyc_taxi_data_clickhouse_spark.suite import load_table, register
 
-#: explicit cross-engine whitespace class (ADVICE r10 contract)
+#: explicit cross-engine whitespace class (ADVICE r10 contract) — the
+#: SQL restatement of operators/text.py:tokens, which the Spark side
+#: reuses directly so the contract has exactly one Spark spelling
 _WS = r"[ \t\n\x0B\f\r]"
 
 #: char-level polynomial hash modulus — keeps fp < 2^30 so the bucket
@@ -96,9 +99,10 @@ def cms_bucket(fp: Column, j: Column) -> Column:
 
 def term_counts(docs: DataFrame) -> DataFrame:
     """Exact per-term counts — the single corpus-scale shuffle both
-    round-13 entries reduce to."""
+    round-13 entries reduce to.  Tokenization is
+    operators/text.py:tokens, the repo-wide whitespace contract."""
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
-        F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("term")
+        F.explode(tokens("text")).alias("term")
     )
     return (
         toks.filter(F.length("term") > 0)
@@ -107,9 +111,10 @@ def term_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def countmin_sketch(counts: DataFrame) -> DataFrame:
-    """(j, bucket, counter) Count-Min sketch rows from exact term
-    counts — CMS_DEPTH x CMS_WIDTH rows total, whatever the corpus."""
+def countmin_sketch(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(keyed rows, sketch): the per-(term, depth-row) bucket rows and
+    the aggregated (j, bucket, counter) Count-Min sketch — the sketch
+    is CMS_DEPTH x CMS_WIDTH rows total, whatever the corpus."""
     rows = counts.select(
         "term",
         "cnt",
@@ -132,7 +137,7 @@ def countmin_sketch(counts: DataFrame) -> DataFrame:
       SELECT term, cnt, j,
              ((fp + j * {CMS_SEED_STRIDE}) * {_KNUTH})
                % 4294967296 % {CMS_WIDTH} AS bucket
-      FROM keyed, UNNEST([0, 1, 2]) AS g(j)),
+      FROM keyed, UNNEST([{", ".join(map(str, range(CMS_DEPTH)))}]) AS g(j)),
     sketch AS (
       SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS counter
       FROM rows_ GROUP BY j, bucket),
@@ -211,14 +216,13 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # same corpus-scale agg as countmin (term_counts); the length>=2
+    # word filter commutes with the per-term count, so it runs on the
+    # vocabulary after the shuffle
     words = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select(
-            F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("word")
-        )
-        .filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
+        term_counts(docs)
+        .filter(F.length("term") >= 2)
+        .select(F.col("term").alias("word"), F.col("cnt").alias("wcnt"))
     )
     pairs = words.select(
         F.explode(

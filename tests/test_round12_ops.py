@@ -295,6 +295,12 @@ _HUGE_IDS = [
     2**40 + 12345,
     2**62 + 999,
     2**63 - 1,
+    # negative ids: Spark pmod vs DuckDB's sign-preserving % — the
+    # oracle restates pmod explicitly (round12_ops._AES_X_SQL), and
+    # Python's floored % is the shared reference
+    -1,
+    -(2**31),
+    -(2**63) + 5,
 ]
 
 
