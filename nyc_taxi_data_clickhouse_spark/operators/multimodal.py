@@ -1896,68 +1896,122 @@ def _build_mpeg1_codec():
     )
 
     class _BitWriter:
+        """Bitstring accumulator.  ``bits`` only DEFERS its argument;
+        the join + one big base-2 int parse + ``to_bytes`` happen per
+        aligned run (``align``/``start_code``), which is ~10x cheaper
+        than per-call byte packing and emits the identical bytes.
+        ``buf`` is only valid after ``align()`` — the encoder reads it
+        once, after the final ``start_code`` (which aligns first)."""
+
         def __init__(self):
             self.buf = bytearray()
-            self.acc = 0
+            self.pending = []   # deferred bitstrings
+            self.npending = 0   # total deferred bits
+            self.acc = 0        # sub-byte carry (n < 8 bits)
             self.n = 0
 
         def bits(self, s):
-            for ch in s:
-                self.acc = (self.acc << 1) | (ch == "1")
-                self.n += 1
-                if self.n == 8:
-                    self.buf.append(self.acc)
-                    self.acc = self.n = 0
+            if s:
+                self.pending.append(s)
+                self.npending += len(s)
+
+        def _flush(self):
+            if not self.pending:
+                return
+            s = "".join(self.pending)
+            self.pending = []
+            k = self.npending
+            self.npending = 0
+            self.acc = (self.acc << k) | int(s, 2)
+            n = self.n + k
+            nbytes, rem = divmod(n, 8)
+            if nbytes:
+                self.buf += (self.acc >> rem).to_bytes(nbytes, "big")
+            self.acc &= (1 << rem) - 1
+            self.n = rem
 
         def uint(self, value, width):
             self.bits(format(value, f"0{width}b"))
 
         def align(self):
-            while self.n:
-                self.bits("0")
+            self._flush()
+            if self.n:
+                self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+                self.acc = 0
+                self.n = 0
 
         def start_code(self, code):
             self.align()
             self.buf += bytes((0, 0, 1, code))
 
+    # int-keyed VLC decode tables, built lazily from the canonical
+    # bitstring tables: (code_length, code_value) -> decoded value.
+    # Keyed by id() with a STRONG reference to the source table held in
+    # the cache entry, so an id can never be recycled out from under us.
+    _VLC_INT_CACHE = {}
+    _VLC_MISS = object()
+
     class _BitReader:
         def __init__(self, data):
             self.data = data
             self.pos = 0  # bit position
+            self.nbits = 8 * len(data)
 
         def read(self, n):
             # explicit exhaustion check (ADVICE r11): a truncated
             # stream must fail with a diagnosable ValueError, not a
             # raw IndexError from the byte lookup
-            if self.pos + n > 8 * len(self.data):
+            pos = self.pos
+            if pos + n > self.nbits:
                 raise ValueError(
                     "MPEG-1 bitstream exhausted mid-structure "
                     "(truncated or corrupt stream)"
                 )
-            v = 0
-            for _ in range(n):
-                byte = self.data[self.pos >> 3]
-                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-                self.pos += 1
-            return v
+            self.pos = pos + n
+            if n == 1:  # dominant call shape (VLC walks)
+                return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+            # bulk extraction: one bytes->int of the covering slice,
+            # then shift/mask — same bit order as the former loop
+            start = pos >> 3
+            end = (pos + n + 7) >> 3
+            chunk = int.from_bytes(self.data[start:end], "big")
+            return (chunk >> (((end - start) << 3) - (pos & 7) - n)) & (
+                (1 << n) - 1
+            )
 
         def nextbits(self, n):
-            save = self.pos
-            if save + n > 8 * len(self.data):
+            pos = self.pos
+            if pos + n > self.nbits:
                 return None
-            v = self.read(n)
-            self.pos = save
-            return v
+            start = pos >> 3
+            end = (pos + n + 7) >> 3
+            chunk = int.from_bytes(self.data[start:end], "big")
+            return (chunk >> (((end - start) << 3) - (pos & 7) - n)) & (
+                (1 << n) - 1
+            )
 
         def vlc(self, table, max_len=12, what="VLC"):
-            """table: bitstring -> value; greedy prefix match."""
-            code = ""
-            for _ in range(max_len):
-                code += str(self.read(1))
-                if code in table:
-                    return table[code]
+            """table: bitstring -> value; greedy prefix match (walked
+            on the int-keyed twin of ``table`` — same greedy order,
+            no per-bit string building)."""
+            cached = _VLC_INT_CACHE.get(id(table))
+            if cached is None:
+                cached = (
+                    table,
+                    {(len(k), int(k, 2)): v for k, v in table.items()},
+                )
+                _VLC_INT_CACHE[id(table)] = cached
+            tbl = cached[1]
+            read = self.read
+            code = 0
+            for length in range(1, max_len + 1):
+                code = (code << 1) | read(1)
+                hit = tbl.get((length, code), _VLC_MISS)
+                if hit is not _VLC_MISS:
+                    return hit
+            codestr = format(code, f"0{max_len}b")
             raise NotImplementedError(
-                f"MPEG-1 {what} code {code!r} outside the implemented "
+                f"MPEG-1 {what} code {codestr!r} outside the implemented "
                 "subset (see _build_mpeg1_codec scope bounds)"
             )
 
@@ -2625,7 +2679,7 @@ def _build_mpeg1_codec():
             (both directions) averages with the spec's ``//`` rounding
             — (a + b + 1) >> 1 on the non-negative samples — per
             2.4.4.4; vectors arrive already full-pel-scaled."""
-            out = None
+            acc = None
             for use, refp, (vx, vy) in (
                 (use_f, ref, vf), (use_b, bref, vb)
             ):
@@ -2635,15 +2689,25 @@ def _build_mpeg1_codec():
                 cvx, cvy = _half_trunc(vx), _half_trunc(vy)
                 pcb = _mc_block(refp[1], my * 8, mx * 8, 8, cvx, cvy)
                 pcr = _mc_block(refp[2], my * 8, mx * 8, 8, cvx, cvy)
-                cur = [
-                    py[0:8, 0:8], py[0:8, 8:16],
-                    py[8:16, 0:8], py[8:16, 8:16], pcb, pcr,
-                ]
-                if out is None:
-                    out = [c.copy() for c in cur]
+                cur = (py, pcb, pcr)
+                if acc is None:
+                    acc = cur
                 else:
-                    out = [(a + b + 1) >> 1 for a, b in zip(out, cur)]
-            return out
+                    # averaging whole planes == averaging the six
+                    # blocks (elementwise, disjoint slices)
+                    acc = tuple(
+                        (a + b + 1) >> 1 for a, b in zip(acc, cur)
+                    )
+            py, pcb, pcr = acc
+            # views into the reference planes when a single direction
+            # with full-pel vectors: safe — consumers either rebind
+            # (parts[bi] = parts[bi] + spat) or copy (np.asarray), and
+            # _store_mb writes into the CURRENT planes, never into the
+            # reference planes these may view
+            return [
+                py[0:8, 0:8], py[0:8, 8:16],
+                py[8:16, 0:8], py[8:16, 8:16], pcb, pcr,
+            ]
 
         def _store_mb(my, mx, blocks6):
             for bi in range(4):
@@ -2831,19 +2895,28 @@ def _build_mpeg1_codec():
                     parts = _pred_parts(use_f, use_b, vf, vb, my, mx)
                     if ptype == 3:
                         last_pred = (use_f, use_b, vf, vb)
-                    for bi in range(6):
-                        if not (cbp_bits & (1 << (5 - bi))):
-                            continue
-                        res = _decode_noninter_block(sr, qscale, nquant)
+                    # entropy decode is serial; the per-block IDCTs are
+                    # not — batch the coded blocks through ONE (k,8,8)
+                    # matmul pair instead of k separate 8x8 ones
+                    coded = [
+                        (bi, _decode_noninter_block(sr, qscale, nquant))
+                        for bi in range(6)
+                        if cbp_bits & (1 << (5 - bi))
+                    ]
+                    if coded:
                         spat = _np.rint(
                             IDCT_M
-                            @ _np.asarray(res, dtype=_np.float64).reshape(8, 8)
+                            @ _np.asarray(
+                                [res for _bi, res in coded],
+                                dtype=_np.float64,
+                            ).reshape(-1, 8, 8)
                             @ IDCT_M.T
                         ).astype(_np.int64)
-                        parts[bi] = parts[bi] + spat
-                    samples = [
-                        _np.clip(p, 0, 255).astype(_np.int64) for p in parts
-                    ]
+                        for (bi, _res), sp in zip(coded, spat):
+                            parts[bi] = parts[bi] + sp
+                    # one stacked clip over the six 8x8 blocks (copies,
+                    # so no view of the reference planes survives)
+                    samples = _np.clip(_np.asarray(parts), 0, 255)
                 _store_mb(my, mx, samples)
             pos = s + 4
         return yp, cbp, crp
@@ -2895,7 +2968,7 @@ def _build_mpeg1_codec():
             cache["bwd"] = planes
             cache["idx_bwd"] = t
 
-    def mpeg1_frame_pixels(video, idx, _cache=None):
+    def mpeg1_frame_pixels(video, idx, _cache=None, _as_array=False):
         """Decode DISPLAY frame ``idx`` -> (width, height, 3, flat RGB
         pixels).  The stream stores pictures in DECODE order (each
         anchor before the B-pictures that display between it and the
@@ -2965,6 +3038,10 @@ def _build_mpeg1_codec():
         rgb = _np.clip(_np.stack([rr, gg, bb], axis=-1), 0, 255).astype(
             _np.int64
         )
+        if _as_array:
+            # sampler fast path: same values, ndarray instead of a
+            # Python list (callers sum it vectorized)
+            return w, h, 3, rgb.reshape(-1)
         return w, h, 3, rgb.reshape(-1).tolist()
 
     # table introspection for the transcription-hygiene tests
@@ -3043,7 +3120,9 @@ def decode_video_frames(
                     # picture once (see mpeg1_frame_pixels _cache note)
                     gop_cache: dict = {}
                     frame = (  # noqa: E731
-                        lambda v, i, c=gop_cache: mpeg1_pixels(v, i, _cache=c)
+                        lambda v, i, c=gop_cache: mpeg1_pixels(
+                            v, i, _cache=c, _as_array=True
+                        )
                     )
                 else:
                     video = from_avi(payload)
@@ -3061,7 +3140,13 @@ def decode_video_frames(
                     out["frame_index"].append(idx)
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["pixel_sum"].append(sum(pixels))
+                    # mpeg streams hand back an ndarray (vectorized
+                    # sum); the list-returning decoders sum in Python
+                    out["pixel_sum"].append(
+                        int(pixels.sum())
+                        if hasattr(pixels, "sum")
+                        else sum(pixels)
+                    )
                     ts += every_ms
             yield _pd.DataFrame(out)
 
