@@ -1945,9 +1945,11 @@ def _build_mpeg1_codec():
             self.buf += bytes((0, 0, 1, code))
 
     # int-keyed VLC decode tables, built lazily from the canonical
-    # bitstring tables: (code_length, code_value) -> decoded value.
-    # Keyed by id() with a STRONG reference to the source table held in
-    # the cache entry, so an id can never be recycled out from under us.
+    # bitstring tables.  Key = (1 << len(code)) | int(code, 2) — the
+    # implicit leading 1 makes (length, value) a single int, so the
+    # greedy walk allocates nothing per bit.  Keyed by id() with a
+    # STRONG reference to the source table held in the cache entry, so
+    # an id can never be recycled out from under us.
     _VLC_INT_CACHE = {}
     _VLC_MISS = object()
 
@@ -1968,14 +1970,17 @@ def _build_mpeg1_codec():
                     "(truncated or corrupt stream)"
                 )
             self.pos = pos + n
-            if n == 1:  # dominant call shape (VLC walks)
-                return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+            off = pos & 7
+            if off + n <= 8:  # within one byte (incl. the n=1 VLC walk)
+                return (self.data[pos >> 3] >> (8 - off - n)) & (
+                    (1 << n) - 1
+                )
             # bulk extraction: one bytes->int of the covering slice,
-            # then shift/mask — same bit order as the former loop
+            # then shift/mask — same bit order as a per-bit loop
             start = pos >> 3
             end = (pos + n + 7) >> 3
             chunk = int.from_bytes(self.data[start:end], "big")
-            return (chunk >> (((end - start) << 3) - (pos & 7) - n)) & (
+            return (chunk >> (((end - start) << 3) - off - n)) & (
                 (1 << n) - 1
             )
 
@@ -1983,10 +1988,15 @@ def _build_mpeg1_codec():
             pos = self.pos
             if pos + n > self.nbits:
                 return None
+            off = pos & 7
+            if off + n <= 8:
+                return (self.data[pos >> 3] >> (8 - off - n)) & (
+                    (1 << n) - 1
+                )
             start = pos >> 3
             end = (pos + n + 7) >> 3
             chunk = int.from_bytes(self.data[start:end], "big")
-            return (chunk >> (((end - start) << 3) - (pos & 7) - n)) & (
+            return (chunk >> (((end - start) << 3) - off - n)) & (
                 (1 << n) - 1
             )
 
@@ -1998,18 +2008,18 @@ def _build_mpeg1_codec():
             if cached is None:
                 cached = (
                     table,
-                    {(len(k), int(k, 2)): v for k, v in table.items()},
+                    {(1 << len(k)) | int(k, 2): v for k, v in table.items()},
                 )
                 _VLC_INT_CACHE[id(table)] = cached
             tbl = cached[1]
             read = self.read
-            code = 0
-            for length in range(1, max_len + 1):
+            code = 1  # implicit leading 1 encodes the length
+            for _ in range(max_len):
                 code = (code << 1) | read(1)
-                hit = tbl.get((length, code), _VLC_MISS)
+                hit = tbl.get(code, _VLC_MISS)
                 if hit is not _VLC_MISS:
                     return hit
-            codestr = format(code, f"0{max_len}b")
+            codestr = format(code, "b")[1:]  # strip the implicit 1
             raise NotImplementedError(
                 f"MPEG-1 {what} code {codestr!r} outside the implemented "
                 "subset (see _build_mpeg1_codec scope bounds)"
