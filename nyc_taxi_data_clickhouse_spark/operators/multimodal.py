@@ -82,6 +82,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nyc_taxi_data_clickhouse_spark.partitioning import (
+    python_map_min_partitions,
+)
+
 #: canonical media column bundle: payload + typed metadata
 MEDIA_STRUCT = T.StructType(
     [
@@ -4028,9 +4032,19 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
                 {"media_id": ids, "payload": [build(int(i)) for i in ids]}
             )
 
-    return df.select(F.col(id_col).alias("__id")).mapInPandas(
-        synth, schema=SYNTH_SCHEMA
-    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    # CPU-parallelism guard: scans split by BYTES, so an id projection
+    # of a dimension-sized (or single-row-group) table plans as ONE
+    # split and would serialize the whole codec tier on one core.  The
+    # round-robin exchange moves only the 8-byte ids — payload bytes
+    # are BORN in their final partition and never shuffle (the map-only
+    # invariant tests/test_plan_hygiene.py pins above the synth stage).
+    # On inputs that already arrive parallel the helper returns None
+    # and the plan is exchange-free as before.
+    n_min = python_map_min_partitions(ids)
+    if n_min:
+        ids = ids.repartition(n_min)
+    return ids.mapInPandas(synth, schema=SYNTH_SCHEMA)
 
 
 def sample_frames(

@@ -105,3 +105,42 @@ def sized_partitions_for_rows(
     if n <= default:
         return None
     return min(cap, n)
+
+
+def python_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
+    """Minimum split count for a CPU-BOUND Python map stage (the Pandas
+    UDF codec tier), or None when the input already arrives parallel.
+
+    The two sizing helpers above solve the opposite problem (too much
+    per-task state); this one solves starvation.  Scans are split by
+    BYTES (``spark.sql.files.maxPartitionBytes`` / row-group bounds),
+    which is the right unit for JVM scans but the wrong one for a
+    Python map stage whose cost is per-row CPU: a small-bytes input —
+    an id projection, a dimension-sized media table, a single-row-group
+    parquet file — collapses to ONE scan split and silently serializes
+    minutes of codec work on one core of a 32-core host (or one core of
+    a 1000-executor cluster).
+
+    Contract: returns ``defaultParallelism * fanout`` when the planned
+    input partitioning is below the session's core count, None
+    otherwise — a 100 TB media table arrives with thousands of splits,
+    so the round-robin exchange (and its cost) only ever engages on
+    inputs small enough that the exchange is trivial.  Call it on the
+    NARROWEST projection available (ids, not payloads), so what
+    shuffles is a handful of bytes per row.
+
+    ``fanout=1`` (one wave of tasks) is the measured default: at sf0.1
+    each extra wave of Python tasks costs ~1.3 s across the chained
+    mapInPandas stages (per-task Arrow/worker round trips), more than
+    the straggler imbalance it insures against on round-robin-balanced
+    ids — fanout=3 made every cheap multimodal entry ~1.3 s slower
+    while the heavy codec rows gained nothing (BENCH_NOTES round 13)."""
+    spark = df.sparkSession
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        n_in = df.rdd.getNumPartitions()
+    except Exception:
+        return None
+    if n_in >= cores:
+        return None
+    return cores * fanout

@@ -157,3 +157,34 @@ def test_calibrated_jaccard_gate_disengages_small_input(spark):
     and the plan stays byte-identical to the un-sized one."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert dedup._calibrated_jaccard_partitions(docs, "text", "doc_id", 3) is None
+
+
+def test_python_map_min_partitions_engages_below_core_count(spark):
+    """A one-row-group id projection must be widened for the Python
+    codec stage; an input already at/above core width must be left
+    alone (VERDICT-style engage-only-when-starved contract)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    cores = spark.sparkContext.defaultParallelism
+    n = partitioning.python_map_min_partitions(docs)
+    assert docs.rdd.getNumPartitions() < cores  # the starved shape
+    assert n == cores  # default fanout=1: one wave, no extra task cost
+    # already parallel -> no exchange added
+    wide = docs.repartition(cores)
+    assert partitioning.python_map_min_partitions(wide) is None
+
+
+def test_synthesize_media_runs_core_parallel(spark):
+    """The codec tier's synth+decode chain must plan at >= core-count
+    tasks even from a single-row-group table — before the r13 guard the
+    whole MPEG tier executed as ONE task (scan splits are byte-sized,
+    the Python stage is CPU-sized)."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        synthesize_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    out = synthesize_media(ids, "audio")
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -171,10 +171,16 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
 
 
 # ---------------------------------------------------------------------------
-# Map-only invariant for the media decode entries (r11): synthesize ->
-# pack -> decode must plan as one shuffle-free pipeline — payload bytes
-# never leave their partition.  Any Exchange here means media started
-# shuffling, which is the scale property these operators exist to avoid.
+# Map-only invariant for the media decode entries (r11, sharpened r13):
+# payload bytes never leave the partition they are BORN in.  The only
+# Exchange allowed is the id-only round-robin BELOW the synth stage
+# (the CPU-parallelism guard — partitioning.python_map_min_partitions —
+# that keeps a one-row-group id projection from serializing the codec
+# tier on one core).  executedPlan().toString() prints root-first, so
+# everything carrying payloads sits ABOVE the last (deepest)
+# MapInPandas; an Exchange in that region means media started
+# shuffling, which is the scale property these operators exist to
+# avoid.
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("entry", [
@@ -188,8 +194,11 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
 def test_media_decode_plans_are_shuffle_free(spark, entry):
     df = suite.registry()[entry].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:1500]
     assert "MapInPandas" in plan, plan[:1500]
+    payload_region = plan[: plan.rindex("MapInPandas")]
+    assert "Exchange" not in payload_region, plan[:1500]
+    id_region = plan[plan.rindex("MapInPandas"):]
+    assert "BroadcastExchange" not in id_region, plan[:1500]
 
 
 def test_quality_rule_filter_plan_is_map_only(spark):
