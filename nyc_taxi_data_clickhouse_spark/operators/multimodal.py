@@ -83,7 +83,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nyc_taxi_data_clickhouse_spark.partitioning import (
-    python_map_min_partitions,
+    cpu_map_min_partitions,
 )
 
 #: canonical media column bundle: payload + typed metadata
@@ -4041,7 +4041,7 @@ def synthesize_media(df: DataFrame, modality: str, id_col: str = "media_id") -> 
     # invariant tests/test_plan_hygiene.py pins above the synth stage).
     # On inputs that already arrive parallel the helper returns None
     # and the plan is exchange-free as before.
-    n_min = python_map_min_partitions(ids)
+    n_min = cpu_map_min_partitions(ids)
     if n_min:
         ids = ids.repartition(n_min)
     return ids.mapInPandas(synth, schema=SYNTH_SCHEMA)

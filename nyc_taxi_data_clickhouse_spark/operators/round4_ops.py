@@ -122,7 +122,13 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc-keyed equi-join, TakeOrderedAndProject top-k — no cartesian",
 )
 def term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
+
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize+explode feeding the persisted distinct-token table is
+    # the corpus-scan stage; widen it when a single-row-group input
+    # would run it on one core (no-op on partitioned inputs)
+    docs = widen_for_cpu_map(docs)
     # persist the exploded-distinct token table: the df aggregate AND
     # both self-join sides derive from it, and without the persist
     # Catalyst re-executes tokenize->explode->distinct per reference —

@@ -238,8 +238,16 @@ def substring_dup_fraction(
     OVERcounts coverage by one gram).  The oracle-gated entry keeps
     the raw string so the DuckDB twin needs no matching hash
     function; the scaling harness measures both forms."""
+    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
+
     k = 20
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the per-char position explode multiplies rows ~1000x BEFORE the
+    # first exchange: from a single-row-group scan that whole expansion
+    # (and the persist populating it) runs on one core — widen when
+    # starved, no-op on naturally partitioned inputs
+    docs = widen_for_cpu_map(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     gram = F.expr(f"substr(text, i, {k})")
     # persist the exploded position table: the gram-frequency agg AND
     # the join-back both consume it (VERDICT r3 #4 recompute rule).

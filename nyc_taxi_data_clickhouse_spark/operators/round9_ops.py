@@ -285,7 +285,14 @@ PII_ORACLE = r"""
     "redaction pipeline auditable across engines.",
 )
 def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
+
+    # the scrub is a map-only regex projection: a single-row-group
+    # documents file plans as ONE split and serializes all seven
+    # redaction regexes on one core — widen when starved (no-op on
+    # naturally partitioned inputs; the streaming twin stays unwidened,
+    # its parallelism comes from arriving shards)
+    docs = widen_for_cpu_map(load_table(spark, sf_dir, "documents"))
     return _scrub_report(_inject_pii(docs))
 
 

@@ -107,9 +107,12 @@ def sized_partitions_for_rows(
     return min(cap, n)
 
 
-def python_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
-    """Minimum split count for a CPU-BOUND Python map stage (the Pandas
-    UDF codec tier), or None when the input already arrives parallel.
+def cpu_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
+    """Minimum split count for a CPU-BOUND narrow (map-side) stage —
+    the Pandas UDF codec tier, a heavy JVM regex projection, a
+    per-char explode — or None when the input already arrives parallel.
+    Streaming DataFrames always return None (no RDD view; the batch
+    twin is where the widening belongs).
 
     The two sizing helpers above solve the opposite problem (too much
     per-task state); this one solves starvation.  Scans are split by
@@ -135,6 +138,8 @@ def python_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
     the straggler imbalance it insures against on round-robin-balanced
     ids — fanout=3 made every cheap multimodal entry ~1.3 s slower
     while the heavy codec rows gained nothing (BENCH_NOTES round 13)."""
+    if getattr(df, "isStreaming", False):
+        return None
     spark = df.sparkSession
     try:
         cores = spark.sparkContext.defaultParallelism
@@ -144,3 +149,11 @@ def python_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
     if n_in >= cores:
         return None
     return cores * fanout
+
+
+def widen_for_cpu_map(df: DataFrame, fanout: int = 1) -> DataFrame:
+    """``df`` repartitioned to :func:`cpu_map_min_partitions` when the
+    planned input would starve a CPU-bound narrow stage, unchanged
+    otherwise.  Call on the narrowest projection the stage needs."""
+    n = cpu_map_min_partitions(df, fanout)
+    return df.repartition(n) if n else df

@@ -159,18 +159,27 @@ def test_calibrated_jaccard_gate_disengages_small_input(spark):
     assert dedup._calibrated_jaccard_partitions(docs, "text", "doc_id", 3) is None
 
 
-def test_python_map_min_partitions_engages_below_core_count(spark):
+def test_cpu_map_min_partitions_engages_below_core_count(spark):
     """A one-row-group id projection must be widened for the Python
     codec stage; an input already at/above core width must be left
     alone (VERDICT-style engage-only-when-starved contract)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     cores = spark.sparkContext.defaultParallelism
-    n = partitioning.python_map_min_partitions(docs)
+    n = partitioning.cpu_map_min_partitions(docs)
     assert docs.rdd.getNumPartitions() < cores  # the starved shape
     assert n == cores  # default fanout=1: one wave, no extra task cost
     # already parallel -> no exchange added
     wide = docs.repartition(cores)
-    assert partitioning.python_map_min_partitions(wide) is None
+    assert partitioning.cpu_map_min_partitions(wide) is None
+    # streaming inputs are never widened (no RDD view; the batch twin
+    # carries the guard)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF)
+        .select("doc_id")
+    )
+    assert partitioning.cpu_map_min_partitions(stream) is None
 
 
 def test_synthesize_media_runs_core_parallel(spark):

@@ -174,7 +174,7 @@ def test_selection_broadcast_gate_plan_shape(spark, monkeypatch, op_name):
 # Map-only invariant for the media decode entries (r11, sharpened r13):
 # payload bytes never leave the partition they are BORN in.  The only
 # Exchange allowed is the id-only round-robin BELOW the synth stage
-# (the CPU-parallelism guard — partitioning.python_map_min_partitions —
+# (the CPU-parallelism guard — partitioning.cpu_map_min_partitions —
 # that keeps a one-row-group id projection from serializing the codec
 # tier on one core).  executedPlan().toString() prints root-first, so
 # everything carrying payloads sits ABOVE the last (deepest)
