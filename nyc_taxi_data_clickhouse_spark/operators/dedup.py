@@ -675,6 +675,12 @@ def connected_components(
     ``RuntimeError`` if ``max_iter`` rounds pass without reaching the
     fixpoint, rather than silently returning partial labels.
     """
+    # materialize the (possibly expensive) pair pipeline ONCE: edges
+    # and labels below each force an eager job, and without this both
+    # would re-execute the full upstream candidate generation (measured
+    # at sf0.1: the near-dup pair pipeline is ~2.3 s of the entry —
+    # running it twice dominated the whole operator)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -834,6 +840,11 @@ def connected_components_star(
     exhaust the heap — run one JVM per measurement arm there (the r10
     star_sizing_probe does; see BENCH_NOTES round 10).
     """
+    # one eager materialization of the pair pipeline: edges and nodes
+    # both force jobs, and each would otherwise re-execute the whole
+    # upstream candidate generation (the dominant cost at small SF —
+    # see the same note in connected_components)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col(id_a).alias("node"))

@@ -161,7 +161,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transitive closure)",
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
+
+    # shingle explode + self-join stage-1 is CPU-bound; a single-row-
+    # group scan serializes it (measured 3.6 -> 1.7 s at sf0.1).  The
+    # capped (max_df) jaccard entry is deliberately NOT widened — its
+    # hot-set broadcast path measured unstable under widening.
+    docs = widen_for_cpu_map(load_table(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
     return connected_components(pairs).select("node", "component")
 
@@ -208,7 +214,9 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB recursive-CTE oracle",
 )
 def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
+
+    docs = widen_for_cpu_map(load_table(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
     return connected_components_star(pairs).select("node", "component")
 
