@@ -3068,6 +3068,10 @@ def _build_mpeg1_codec():
         "B_MBTYPE_ENC": B_MBTYPE_ENC,
         "MBA": MBA,
     }
+    # bit-I/O primitives exposed for the hypothesis model tests (the
+    # r13 bulk-read/deferred-write rewrite is pinned against a naive
+    # per-bit model in tests/test_properties.py)
+    encode_mpeg1.bit_io = (_BitWriter, _BitReader)
     return encode_mpeg1, parse_mpeg1, mpeg1_frame_pixels
 
 

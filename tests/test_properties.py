@@ -1337,3 +1337,94 @@ def test_mpeg1_bframe_dual_predictors_independent():
     assert int(y[0, 40]) == p_str[4]
     assert int(y[0, 48]) == i_str[5]   # MB3: I col 40 at col 48
     assert int(y[0, 56]) == i_str[6]
+
+
+# ---------------------------------------------------------------------------
+# Bit-I/O primitives vs naive per-bit models (r13: the bulk-read /
+# int-keyed-VLC / deferred-write rewrite must be bit-equivalent)
+# ---------------------------------------------------------------------------
+
+def _naive_reader_bits(data: bytes):
+    """Every bit of ``data``, MSB-first — the reference stream."""
+    return [
+        (byte >> (7 - k)) & 1 for byte in data for k in range(8)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=48),
+    widths=st.lists(st.integers(min_value=0, max_value=40), max_size=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bitreader_matches_naive_model(data, widths, seed):
+    """read(n)/nextbits(n) against a pure-Python per-bit fold: same
+    values in stream order, same exhaustion error, nextbits never
+    advances."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    _BitWriter, _BitReader = _build_mpeg1_codec()[0].bit_io
+    bits = _naive_reader_bits(data)
+    r = _BitReader(data)
+    pos = 0
+    for n in widths:
+        expect_peek = None
+        if pos + n <= len(bits):
+            expect_peek = 0
+            for b in bits[pos:pos + n]:
+                expect_peek = (expect_peek << 1) | b
+        assert r.nextbits(n) == expect_peek
+        assert r.pos == pos  # peek never advances
+        if expect_peek is None:
+            with pytest.raises(ValueError, match="exhausted"):
+                r.read(n)
+            assert r.pos == pos  # failed read does not advance
+        else:
+            assert r.read(n) == expect_peek
+            pos += n
+            assert r.pos == pos
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    chunks=st.lists(
+        st.text(alphabet="01", min_size=0, max_size=19), max_size=24
+    ),
+    aligns=st.sets(st.integers(min_value=0, max_value=23)),
+)
+def test_bitwriter_matches_naive_model(chunks, aligns):
+    """bits()/align()/start_code() against a naive 1-bit-at-a-time
+    accumulator: identical bytes for arbitrary chunkings and
+    interleaved alignment points."""
+    from nyc_taxi_data_clickhouse_spark.operators.multimodal import (
+        _build_mpeg1_codec,
+    )
+
+    _BitWriter, _BitReader = _build_mpeg1_codec()[0].bit_io
+
+    # naive model
+    buf = bytearray()
+    acc = n = 0
+    def model_bits(s):
+        nonlocal acc, n
+        for ch in s:
+            acc = (acc << 1) | (ch == "1")
+            n += 1
+            if n == 8:
+                buf.append(acc)
+                acc = n = 0
+    w = _BitWriter()
+    for k, s in enumerate(chunks):
+        w.bits(s)
+        model_bits(s)
+        if k in aligns:
+            w.start_code(0xB3)
+            while n:
+                model_bits("0")
+            buf.extend((0, 0, 1, 0xB3))
+    w.align()
+    while n:
+        model_bits("0")
+    assert bytes(w.buf) == bytes(buf)
