@@ -1973,6 +1973,12 @@ def _build_mpeg1_codec():
                     "MPEG-1 bitstream exhausted mid-structure "
                     "(truncated or corrupt stream)"
                 )
+            if n == 0:
+                # zero-width read: legal even at exact end-of-stream
+                # (pos == nbits), where the byte lookup below would
+                # index one past the buffer. The codec issues read(0)
+                # via read(f.bit_length()-1) when f_code == 1.
+                return 0
             self.pos = pos + n
             off = pos & 7
             if off + n <= 8:  # within one byte (incl. the n=1 VLC walk)
@@ -1992,6 +1998,10 @@ def _build_mpeg1_codec():
             pos = self.pos
             if pos + n > self.nbits:
                 return None
+            if n == 0:
+                # same end-of-buffer guard as read(): a zero-width
+                # peek at pos == nbits must return 0, not IndexError
+                return 0
             off = pos & 7
             if off + n <= 8:
                 return (self.data[pos >> 3] >> (8 - off - n)) & (

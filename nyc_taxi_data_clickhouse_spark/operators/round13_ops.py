@@ -158,7 +158,9 @@ def countmin_sketch(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
     "per-shard shape at 1000 executors; estimates can only OVER-count "
     "(emitted as the over_ok invariant).  One corpus-scale shuffle "
     "(term hash-agg); sketch re-agg and estimate join-back are "
-    "vocabulary-scale; the sketch side of the join is broadcast.",
+    "vocabulary-scale; the sketch side of the join is broadcast; "
+    "top-k via orderBy().limit(k) = TakeOrderedAndProject, never an "
+    "unpartitioned window over the vocabulary.",
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -171,17 +173,20 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "cnt")
         .agg(F.min("counter").alias("cms_estimate"))
     )
+    # top-k as orderBy().limit(k) = TakeOrderedAndProject (per-partition
+    # k-heaps + driver merge), NOT an unpartitioned row_number window over
+    # the full vocabulary — at 100 TB the distinct-token vocabulary is
+    # billions of rows and a global window funnels them through ONE task.
+    # Same shape as weighted_sample_topk; the window below ranks only the
+    # k survivors.  (VERDICT r13 #2.)
     w = Window.orderBy(F.col("cnt").desc(), "term")
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "rank",
-            "term",
-            F.col("cnt").alias("exact_cnt"),
-            "cms_estimate",
-            (F.col("cms_estimate") >= F.col("cnt")).alias("over_ok"),
-        )
+    top = est.orderBy(F.col("cnt").desc(), "term").limit(_TOP_K)
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("cnt")).alias("over_ok"),
     )
 
 
@@ -209,8 +214,9 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenizer training.  Corpus is aggregated to DISTINCT-word "
     "counts FIRST (the only corpus-scale shuffle); the pair explosion "
     "runs over the vocabulary (corpus-size-independent), exactly how "
-    "production BPE trainers count.  Top-k via row_number with a "
-    "total (cnt desc, pair) tiebreak.",
+    "production BPE trainers count.  Top-k via orderBy().limit(k) = "
+    "TakeOrderedAndProject (per-partition heaps), with a total "
+    "(cnt desc, pair) tiebreak; row_number ranks only the k survivors.",
 )
 def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -232,9 +238,11 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wcnt",
     )
     pc = pairs.groupBy("pair").agg(F.sum("wcnt").alias("cnt"))
+    # pair cardinality is charset²-bounded (corpus-independent), but use
+    # the same TakeOrderedAndProject top-k shape as countmin for
+    # consistency: limit first, rank only the k survivors (VERDICT r13 #2)
     w = Window.orderBy(F.col("cnt").desc(), "pair")
-    return (
-        pc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("rank", "pair", "cnt")
+    top = pc.orderBy(F.col("cnt").desc(), "pair").limit(_TOP_K)
+    return top.select(
+        F.row_number().over(w).alias("rank"), "pair", "cnt"
     )

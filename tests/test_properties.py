@@ -10,7 +10,7 @@ Python model of the ClickHouse semantics.
 from __future__ import annotations
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_clickhouse_spark.functions.scalars import (
@@ -1357,6 +1357,10 @@ def _naive_reader_bits(data: bytes):
     widths=st.lists(st.integers(min_value=0, max_value=40), max_size=24),
     seed=st.integers(min_value=0, max_value=2**31),
 )
+# pinned r13 falsifying example: zero-width read at exact end-of-stream
+# (incl. empty input) must return 0, not index past the buffer
+@example(data=b"", widths=[0], seed=0)
+@example(data=b"\xff", widths=[8, 0], seed=0)
 def test_bitreader_matches_naive_model(data, widths, seed):
     """read(n)/nextbits(n) against a pure-Python per-bit fold: same
     values in stream order, same exhaustion error, nextbits never
