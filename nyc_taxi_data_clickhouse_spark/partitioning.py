@@ -137,12 +137,30 @@ def cpu_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
     mapInPandas stages (per-task Arrow/worker round trips), more than
     the straggler imbalance it insures against on round-robin-balanced
     ids — fanout=3 made every cheap multimodal entry ~1.3 s slower
-    while the heavy codec rows gained nothing (BENCH_NOTES round 13)."""
+    while the heavy codec rows gained nothing (BENCH_NOTES round 13).
+
+    CLUSTER FIDELITY (VERDICT r13 item 7): the core-count signal is
+    ``sparkContext.defaultParallelism``, which equals the worker count
+    on local[N] and the total-cores snapshot on a static cluster, but
+    under DYNAMIC ALLOCATION it reflects only the executors registered
+    at plan time — early in an application that can be far below the
+    eventual executor count, re-introducing partial starvation.
+    Deployments that autoscale should set
+    ``spark.graft.cpuMapTargetPartitions`` (session conf, integer) to
+    the steady-state core count; when set it replaces the
+    defaultParallelism probe entirely (both as the target and as the
+    engage threshold).  Unset (the local default) the probe is exact
+    on local[N] — the only mode this repo executes in."""
     if getattr(df, "isStreaming", False):
         return None
     spark = df.sparkSession
     try:
-        cores = spark.sparkContext.defaultParallelism
+        cores = int(spark.conf.get("spark.graft.cpuMapTargetPartitions"))
+    except Exception:
+        cores = None
+    try:
+        if cores is None:
+            cores = spark.sparkContext.defaultParallelism
         n_in = df.rdd.getNumPartitions()
     except Exception:
         return None

@@ -4,6 +4,7 @@ tiny deterministic trips fixture corpus from FIXTURES.md."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 import sys
 from pathlib import Path
@@ -11,6 +12,58 @@ from pathlib import Path
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _enable_opportunistic_protobuf() -> None:
+    """Make the REAL transformWithState path testable where possible
+    (VERDICT r13 item 8): pyspark's TWS state server needs
+    ``google.protobuf``, which this container's site-packages lacks —
+    but the publicly distributed Google Cloud SDK bundles a pure-copy
+    of the protobuf runtime.  If ``google.protobuf`` is not already
+    importable and a bundled copy exists, put it on sys.path AND
+    ``PYTHONPATH`` (so Spark's python workers — separate processes
+    forked after JVM start — inherit it too), and set protobuf's own
+    documented escape hatch for the one-minor gencode/runtime skew
+    (pyspark 4.1.2 gencode 6.33 vs the SDK runtime 6.32; the
+    StateMessage proto uses no 6.33-only feature — verified by a green
+    end-to-end run of the real StatefulProcessor path, COVERAGE.md
+    §2.9).  Containers without any protobuf keep the declared
+    GroupState-fallback environment contract: this hook is a no-op
+    there and the contract test stays the real PASS.
+
+    Runs at conftest import time, BEFORE any SparkSession (and hence
+    the worker-spawning JVM) exists — env mutations after JVM launch
+    would not reach the workers."""
+    import importlib.util
+
+    def _importable() -> bool:
+        # find_spec("google.protobuf") raises when the parent
+        # namespace package is absent entirely
+        return (
+            importlib.util.find_spec("google") is not None
+            and importlib.util.find_spec("google.protobuf") is not None
+        )
+
+    if _importable():
+        return
+    candidate = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(candidate, "google", "protobuf")):
+        return
+    sys.path.insert(0, candidate)
+    if not _importable():
+        sys.path.remove(candidate)
+        return
+    os.environ["PYTHONPATH"] = (
+        candidate + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else candidate
+    )
+    os.environ.setdefault(
+        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+    )
+
+
+_enable_opportunistic_protobuf()
 
 from nyc_taxi_data_clickhouse_spark.session import get_spark
 from nyc_taxi_data_clickhouse_spark.schema import (

@@ -182,6 +182,35 @@ def test_cpu_map_min_partitions_engages_below_core_count(spark):
     assert partitioning.cpu_map_min_partitions(stream) is None
 
 
+def test_cpu_map_target_partitions_knob_overrides_default_parallelism(spark):
+    """`spark.graft.cpuMapTargetPartitions` replaces the
+    defaultParallelism probe — the dynamic-allocation escape hatch
+    (VERDICT r13 item 7): at plan time defaultParallelism can be far
+    below the eventual executor count, so autoscaling deployments pin
+    the steady-state core target explicitly.  The knob governs BOTH
+    the widen target and the engage threshold."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        # knob above defaultParallelism: widen to the knob, not cores
+        spark.conf.set("spark.graft.cpuMapTargetPartitions", str(cores * 4))
+        assert partitioning.cpu_map_min_partitions(docs) == cores * 4
+        # knob at/below the input's partitioning: not starved -> no-op,
+        # even though defaultParallelism alone would have engaged
+        spark.conf.set(
+            "spark.graft.cpuMapTargetPartitions",
+            str(docs.rdd.getNumPartitions()),
+        )
+        assert partitioning.cpu_map_min_partitions(docs) is None
+        # a malformed knob degrades to the defaultParallelism probe
+        spark.conf.set("spark.graft.cpuMapTargetPartitions", "not-a-number")
+        assert partitioning.cpu_map_min_partitions(docs) == cores
+    finally:
+        spark.conf.unset("spark.graft.cpuMapTargetPartitions")
+    # unset again: the local default path is the plain core probe
+    assert partitioning.cpu_map_min_partitions(docs) == cores
+
+
 def test_synthesize_media_runs_core_parallel(spark):
     """The codec tier's synth+decode chain must plan at >= core-count
     tasks even from a single-row-group table — before the r13 guard the
