@@ -348,6 +348,14 @@ def main() -> None:
         for k, v in OPS.items()
         if k in os.environ.get("SCALE_OPS", ",".join(OPS)).split(",")
     }
+    # SCALE_MODE: replication-mode override for every op in this sweep —
+    # for probing an op on an axis its default mode deliberately avoids
+    # (e.g. countmin on `salted` grows the VOCABULARY linearly, the axis
+    # that punishes any vocabulary-scale single-task stage, where its
+    # default `verbatim` keeps the vocab fixed; VERDICT r13 item 2)
+    mode_override = os.environ.get("SCALE_MODE")
+    if mode_override:
+        ops = {k: mode_override for k in ops}
 
     cpu_metrics = os.environ.get("SCALE_CPU_METRICS") == "1"
     spark = get_spark(
