@@ -122,13 +122,14 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc-keyed equi-join, TakeOrderedAndProject top-k — no cartesian",
 )
 def term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nyc_taxi_data_clickhouse_spark.partitioning import widen_for_cpu_map
-
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize+explode feeding the persisted distinct-token table is
-    # the corpus-scan stage; widen it when a single-row-group input
-    # would run it on one core (no-op on partitioned inputs)
-    docs = widen_for_cpu_map(docs)
+    # r14: the r13 stage-1 widening REVERTED on a controlled A/B
+    # (narrow 1.80/1.99 ± 0.16 vs widened 1.94/2.21 ± 0.19 solo; the
+    # tripwire had flagged a +23% best-of ratchet vs the pre-widening
+    # floor).  Unlike jaccard, the tokenize+explode here feeds a
+    # DISTINCT (wide partial-agg per partition) before the persist, so
+    # widening multiplies combine state — the minhash failure mode,
+    # just milder.  BENCH_NOTES r14 has the measurement.
     # persist the exploded-distinct token table: the df aggregate AND
     # both self-join sides derive from it, and without the persist
     # Catalyst re-executes tokenize->explode->distinct per reference —
