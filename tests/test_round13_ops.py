@@ -192,6 +192,17 @@ def test_round13_plans_are_vocab_scale(spark):
         assert "EvalPython" not in tree
         assert "SortMergeJoin" not in tree
         assert tree.count("BroadcastHashJoin") == want_bhj
+        # r14 (VERDICT r13 item 2): top-k must be TakeOrderedAndProject
+        # (per-partition heaps) feeding a k-row ranking window — never
+        # an unpartitioned window over the full vocabulary, which at
+        # 100 TB funnels billions of distinct terms through ONE task
+        assert "TakeOrderedAndProject" in tree
+        win_at = tree.find("Window")
+        top_at = tree.find("TakeOrderedAndProject")
+        assert win_at != -1 and top_at != -1 and win_at < top_at, (
+            "the ranking window must consume the limit's k survivors "
+            "(formatted plans print parents before children)"
+        )
 
 
 try:
