@@ -488,13 +488,16 @@ def minhash_lsh_pairs(
     # tokenize->shingle->explode subtree per reference (~4 corpus scans
     # at 100 TB — the same VERDICT r3 #4 failure mode the capped
     # jaccard branch fixed; measured here: 1.56 -> 1.33 s mean at
-    # sf0.1, values identical).  MEMORY_AND_DISK so oversized
-    # partitions spill instead of OOM; freed by clearCache / teardown.
-    from pyspark import StorageLevel
+    # sf0.1, values identical).  track_persist = MEMORY_AND_DISK
+    # (oversized partitions spill instead of OOM) with bounded cache
+    # growth across repeated calls: the label carries the analyzed
+    # plan's semantic hash, so re-running the same corpus reuses one
+    # slot while different inputs never evict each other mid-use.
+    from nyc_taxi_data_clickhouse_spark.scratch import track_persist
 
-    sh_full = _shingle_table(docs, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_full = _shingle_table(docs, text_col, id_col, n)
+    sem = sh_full._jdf.queryExecution().analyzed().semanticHash()
+    sh_full = track_persist(f"minhash_sh:{sem}", sh_full)
     sig = minhash_signature(
         docs, text_col, id_col, n, num_hashes, max_df=max_df, sh=sh_full
     )
