@@ -209,3 +209,27 @@ def test_quality_rule_filter_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_minhash_shingle_table_cached_once(spark):
+    """minhash_lsh_pairs derives the signature aggregate, the df-cap
+    anti-join build side, and BOTH exact-verify join sides from ONE
+    persisted shingle table (BENCH_NOTES r14: the bare three-way
+    re-derivation re-executed the corpus tokenize->shingle->explode
+    subtree per reference).  Pin (a) the cache engages — the executed
+    plan reads the shingle projection through InMemoryTableScan at
+    least three times — and (b) growth is bounded: rebuilding the same
+    plan reuses the one `minhash_sh:` slot instead of stacking copies."""
+    from nyc_taxi_data_clickhouse_spark import scratch
+
+    def slots():
+        return [k for k in scratch._last_persisted if k.startswith("minhash_sh:")]
+
+    before = len(slots())
+    df = suite.registry()["dedup_minhash_lsh"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    assert len(slots()) <= before + 1
+    # same input plan -> same semantic-hash label -> same single slot
+    suite.registry()["dedup_minhash_lsh"].spark(spark, SF_SMOKE)
+    assert len(slots()) <= before + 1
