@@ -233,6 +233,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure mode); widening ONLY the doc input ahead of shingling
     # un-starves the persisted shingle table without multiplying any
     # wide agg state.  No-op on naturally partitioned (100 TB) inputs.
+    # Known deviation from widen_for_cpu_map's narrowest-projection
+    # contract (ADVICE r14): the widened frame carries the text payload
+    # (the shingler consumes it immediately downstream, so there is no
+    # narrower projection to widen), and the _calibrated partition
+    # probes run on the post-widen plan — which is the plan they must
+    # size.  Both accepted on the measured A/B above.
     docs = widen_for_cpu_map(docs)
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=100)
 

@@ -154,10 +154,25 @@ def cpu_map_min_partitions(df: DataFrame, fanout: int = 1) -> int | None:
     if getattr(df, "isStreaming", False):
         return None
     spark = df.sparkSession
-    try:
-        cores = int(spark.conf.get("spark.graft.cpuMapTargetPartitions"))
-    except Exception:
-        cores = None
+    # unset -> None (defaultParallelism probe below); PRESENT but
+    # malformed must warn rather than silently degrade to the probe —
+    # the misconfiguration this knob exists to fix on autoscaling
+    # clusters would otherwise go unnoticed (ADVICE r14)
+    raw = spark.conf.get("spark.graft.cpuMapTargetPartitions", None)
+    cores = None
+    if raw is not None:
+        try:
+            cores = int(raw)
+        except (TypeError, ValueError):
+            import warnings
+
+            warnings.warn(
+                "spark.graft.cpuMapTargetPartitions=%r is not an "
+                "integer; falling back to the defaultParallelism "
+                "probe (which undercounts under dynamic allocation)"
+                % (raw,),
+                stacklevel=2,
+            )
     try:
         if cores is None:
             cores = spark.sparkContext.defaultParallelism

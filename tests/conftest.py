@@ -46,15 +46,25 @@ def _enable_opportunistic_protobuf() -> None:
 
     if _importable():
         return
+    # ADVICE r14: if a 'google' package/namespace is already installed
+    # (just without protobuf), do NOT add the SDK bundle at all — a
+    # regular-package 'google' in the bundle would shadow the installed
+    # one for EVERY google.* import, breaking unrelated packages.  The
+    # TWS fallback contract covers that environment instead.
+    if importlib.util.find_spec("google") is not None:
+        return
     candidate = "/usr/lib/google-cloud-sdk/platform/google_appengine"
     if not os.path.isdir(os.path.join(candidate, "google", "protobuf")):
         return
-    sys.path.insert(0, candidate)
+    # append, not prepend (ADVICE r14): site-packages must keep
+    # priority so the bundle's top-level modules (run_tests.py, ...)
+    # never shadow legitimately installed ones
+    sys.path.append(candidate)
     if not _importable():
         sys.path.remove(candidate)
         return
     os.environ["PYTHONPATH"] = (
-        candidate + os.pathsep + os.environ["PYTHONPATH"]
+        os.environ["PYTHONPATH"] + os.pathsep + candidate
         if os.environ.get("PYTHONPATH")
         else candidate
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_clickhouse_spark import partitioning
@@ -202,9 +203,12 @@ def test_cpu_map_target_partitions_knob_overrides_default_parallelism(spark):
             str(docs.rdd.getNumPartitions()),
         )
         assert partitioning.cpu_map_min_partitions(docs) is None
-        # a malformed knob degrades to the defaultParallelism probe
+        # a malformed knob degrades to the defaultParallelism probe —
+        # LOUDLY (ADVICE r14): the silent-fallback path was exactly the
+        # misconfiguration the knob exists to surface
         spark.conf.set("spark.graft.cpuMapTargetPartitions", "not-a-number")
-        assert partitioning.cpu_map_min_partitions(docs) == cores
+        with pytest.warns(UserWarning, match="cpuMapTargetPartitions"):
+            assert partitioning.cpu_map_min_partitions(docs) == cores
     finally:
         spark.conf.unset("spark.graft.cpuMapTargetPartitions")
     # unset again: the local default path is the plain core probe
