@@ -136,6 +136,13 @@ OPS = {
     # bracket's per-group scalars never grow with the factor).
     "exact_median_bracket": "lineitem",
     "mad_outliers": "lineitem",
+    # r15 (VERDICT r14 item 1): the two-phase distributed prefix sum
+    # replacing the corpus-wide unpartitioned running-sum window.
+    # Verbatim replication grows the doc count linearly under fresh
+    # doc_ids — exactly the axis the old single-task window funneled;
+    # expected: linear wall/CPU, zero spill, shard window state
+    # bounded by corpus_bytes/n_shards.
+    "token_budget_packing": "verbatim",
 }
 
 

@@ -442,24 +442,91 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most one document; exact bin-packing is NP-hard and "
     "order-dependent; CAST of a fractional value rounds in some "
     "engines, so the bin index floors explicitly).  The running sum "
-    "is one global-ordered window "
-    "— at 100 TB, partition the corpus first (by shard/lang) and pack "
-    "within partitions so no global sort exists; whitespace token "
-    "proxy keeps the oracle engine-portable",
+    "is a TWO-PHASE DISTRIBUTED PREFIX SUM (VERDICT r14 item 1), not "
+    "a global-ordered window: the corpus is range-sharded on the "
+    "leading sort key by approx-quantile cuts (deterministic literals "
+    "once collected — unlike spark_partition_id over "
+    "repartitionByRange, re-evaluation of a branch can never move a "
+    "row between shards), the running sum windows WITHIN shards in "
+    "parallel, per-shard totals (n_shards rows) cumulate in one tiny "
+    "bounded window, and the broadcast offsets add back.  Exact "
+    "integer arithmetic, so the result is byte-identical to the "
+    "single-window form under the same (doc_id, toks) global order; "
+    "whitespace token proxy keeps the oracle engine-portable",
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from nyc_taxi_data_clickhouse_spark.partitioning import (
+        sized_shuffle_partitions,
+    )
+    from nyc_taxi_data_clickhouse_spark.scratch import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     )
-    # (doc_id, toks) ordering: the corpus carries one duplicated id,
-    # and an ambiguous tie order would shift every later prior-sum
-    w = W.orderBy("doc_id", "toks").rowsBetween(W.unboundedPreceding, -1)
-    c = docs.select(
-        F.col("doc_id"), toks.alias("toks")
-    ).withColumn("prior", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    t = docs.select(F.col("doc_id"), toks.alias("toks"))
+
+    # Shard count: session default, data-sized upward for corpora whose
+    # (doc_id, toks, shard) exchange would overfill the default width
+    # (expansion = shuffled ~24 B/row over the docs scan's plan bytes —
+    # the narrow projection is a small fraction of the text payload;
+    # probe-calibrated, see SCALING_CPU_r15_packing).
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        default = 200
+    n_shards = sized_shuffle_partitions(t, expansion=0.1) or default
+
+    # Phase 0 — deterministic range cuts on the leading key only (one
+    # cheap single-column pass; 1% balance error only costs balance,
+    # never correctness).  Sharding by doc_id alone keeps duplicate ids
+    # in one shard, so within-shard (doc_id, toks) order concatenated
+    # across ascending shards IS the global order.
+    cuts: list[int] = []
+    if n_shards > 1:
+        qs = docs.select("doc_id").stat.approxQuantile(
+            "doc_id", [i / n_shards for i in range(1, n_shards)], 0.01
+        )
+        cuts = sorted({int(q) for q in qs})
+    shard = F.lit(0)
+    for b in cuts:
+        shard = shard + (F.col("doc_id") > F.lit(b)).cast("int")
+    s = t.withColumn("shard", shard)
+
+    # Phase 1 — running sum WITHIN each shard (one hash exchange on the
+    # shard key; per-task sort state is corpus_bytes/n_shards, bounded
+    # by the sizing above).  (doc_id, toks) ordering: the corpus
+    # carries one duplicated id, and an ambiguous tie order would
+    # shift every later prior-sum.  Persisted once: the per-shard
+    # totals and the offset join-back below both consume it, and the
+    # cached table is 3 ints/row — cluster cache-tier sized at 100 TB.
+    w_in = (
+        W.partitionBy("shard")
+        .orderBy("doc_id", "toks")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = track_persist(
+        f"packing:{sf_dir}",
+        s.withColumn(
+            "local_prior", F.coalesce(F.sum("toks").over(w_in), F.lit(0))
+        ),
+    )
+
+    # Phase 2 — cumulative shard offsets.  The only unpartitioned
+    # window left runs over n_shards rows (bounded by the shuffle
+    # width, not the corpus — the plan-hygiene allowlist class).
+    totals = local.groupBy("shard").agg(F.sum("toks").alias("shard_toks"))
+    w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("shard_toks").over(w_off), F.lit(0))
+    ).select("shard", "offset")
+
+    # Phase 3 — global prior = in-shard prior + broadcast shard offset.
+    c = local.join(F.broadcast(offsets), "shard").withColumn(
+        "prior", F.col("local_prior") + F.col("offset")
+    )
     return (
         c.select(F.floor(F.col("prior") / 2048).cast("long").alias("bin"), "toks")
         .groupBy("bin")

@@ -13,7 +13,8 @@
   criterion, char-gram keyed instead of suffix-array).
 - ``jsonl_ingest``: permissive JSONL source with corrupt-record
   quarantine — the ingestion format real LLM corpora arrive in.
-- ``orc_roundtrip``: ORC as a second columnar at-rest format.
+- (``orc_roundtrip`` moved r15: consolidated into the stricter
+  identity-oracle ``orc_roundtrip_identity`` in plans/surface_extra.py)
 
 Reference: the reference has no streaming/JSON/ORC surface at all
 (SURVEY §2.9/§2.1 extensions); shapes mirror its GROUP-BY analyses
@@ -354,30 +355,9 @@ def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "orc_roundtrip",
-    """
-    SELECT l_returnflag AS key, count(*) AS cnt,
-           round(sum(l_extendedprice), 2) AS revenue
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="§2.1 extension sink/source: ORC at-rest roundtrip — Spark's "
-    "second built-in columnar format (same predicate-pushdown / "
-    "column-pruning contract as parquet, zlib-striped).  Writes the "
-    "lineitem projection as ORC, reads it back, and aggregates; the "
-    "oracle aggregates the parquet original, so any value/row drift "
-    "introduced by the format conversion breaks the hash.  Engines "
-    "downstream of Hive-era lakes still hand ORC around; an engine "
-    "claiming to replace the reference's ingest pipeline needs it",
-)
-def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    stage = scratch_dir("orc_")
-    li.write.mode("overwrite").orc(stage)
-    back = spark.read.orc(stage)
-    return back.groupBy(F.col("l_returnflag").alias("key")).agg(
-        F.count("*").alias("cnt"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-    )
+# NOTE (r15, VERDICT r14 item 3): the ``orc_roundtrip`` aggregate
+# entry that lived here was consolidated into the stricter
+# identity-oracle ``orc_roundtrip_identity`` (plans/surface_extra.py)
+# — the same sink/source path held two registry slots; the identity
+# form pins every row/column of the format conversion rather than an
+# aggregate over it.  Freed slot recorded in COVERAGE.md.

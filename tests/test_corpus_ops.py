@@ -187,3 +187,39 @@ def test_domain_mix_temperature_semantics(spark):
     assert out2["big"]["rate"] == math.floor(100 * math.sqrt(30 / 40))  # 86
     assert out2["big"]["rate"] > out["big"]["rate"]
     assert out2["big"]["n_kept"] >= out["big"]["n_kept"]
+
+
+def test_token_budget_packing_matches_naive_prefix_sum(spark):
+    """The two-phase distributed prefix sum (r15 reshape of the
+    corpus-wide unpartitioned window, VERDICT r14 item 1) must be
+    byte-identical to a naively computed global running sum — checked
+    here against an INDEPENDENT Python reimplementation on the smoke
+    corpus (the DuckDB oracle checks engine parity; this pins the
+    sharded decomposition itself: shard cuts on the leading key only,
+    duplicate ids co-sharded, offsets exact)."""
+    from nyc_taxi_data_clickhouse_spark.suite import registry
+
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        map(tuple, registry()["token_budget_packing"].spark(spark, SF_SMOKE).collect())
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = sorted(
+        (r["doc_id"], len(r["text"]) - len(r["text"].replace(" ", "")) + 1)
+        for r in rows
+    )
+    bins: dict[int, tuple[int, int]] = {}
+    prior = 0
+    for _, t in toks:
+        b = prior // 2048
+        n, s = bins.get(b, (0, 0))
+        bins[b] = (n + 1, s + t)
+        prior += t
+    want = sorted((b, n, s) for b, (n, s) in bins.items())
+    assert got == want

@@ -55,7 +55,7 @@ PROBED = [
     "exact_median_bracket",
     "substring_dup_fraction",
     "jsonl_ingest",
-    "orc_roundtrip",
+    "orc_roundtrip_identity",
     "streaming_session_window_append",
     "multimodal_progressive_jpeg",
     "mad_outliers",

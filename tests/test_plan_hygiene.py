@@ -26,17 +26,116 @@ from tests.conftest import SF_SMOKE
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# ---------------------------------------------------------------------------
+# Unpartitioned-window lint (VERDICT r14 item 6).  A Window.orderBy
+# without partitionBy funnels its whole input through ONE task — the
+# r13 countmin and r14 token_budget_packing findings were this same
+# bug class found manually twice; this makes it mechanical.  An entry
+# may plan an unpartitioned window ONLY when (a) it is allowlisted
+# below with a justification AND (b) the window's input subtree
+# contains a row-REDUCING node (aggregate / top-k limit), i.e. the
+# window runs over group-cardinality or k-survivor rows, never the
+# corpus.  Reverting a prefix-sum reshape (packing) or a top-k reshape
+# (countmin) removes the reducing node and fails (b) even though the
+# entry stays allowlisted.
+# ---------------------------------------------------------------------------
+
+UNPARTITIONED_WINDOW_OK = {
+    "bpe_pair_merge": "rank over the k=20 TakeOrderedAndProject survivors",
+    "countmin_heavy_hitters": "rank over the k TakeOrderedAndProject survivors",
+    "domain_mix_temperature": "tiny CDF over the per-domain aggregate "
+    "(domain-cardinality rows)",
+    "moving_average": "7-day calendar frame over the per-day aggregate "
+    "(O(days) rows)",
+    "token_budget_packing": "cumulative shard offsets over the per-shard "
+    "totals (n_shards rows, bounded by the shuffle width)",
+    "token_budget_selection": "histogram CDF over the bounded bucket "
+    "aggregate",
+    "weighted_sample_topk": "rank over the k TakeOrderedAndProject "
+    "survivors",
+    "windowed_distinct_users": "trailing-7-day RANGE frame over the "
+    "day-grain distinct aggregate (O(days) rows)",
+}
+
+_WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+_REDUCING_NODES = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "LocalLimitExec",
+)
+
+
+def _plan_children(node):
+    """Physical-plan children, descending through the two opaque
+    wrappers: AQE's leaf wrapper and cached-relation scans (so a
+    corpus-scale window can't hide behind a persist)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return [node.initialPlan()]
+    out = []
+    if cls == "InMemoryTableScanExec":
+        out.append(node.relation().cachedPlan())
+    ch = node.children()
+    for i in range(ch.length()):
+        out.append(ch.apply(i))
+    return out
+
+
+def _unpartitioned_windows(df):
+    """(window_class, input_is_reduced) for every unpartitioned window
+    node in the executed plan."""
+    found = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        kids = _plan_children(node)
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
+            sub = list(kids)
+            reduced = False
+            while sub:
+                k = sub.pop()
+                if k.getClass().getSimpleName() in _REDUCING_NODES:
+                    reduced = True
+                    break
+                sub.extend(_plan_children(k))
+            found.append((cls, reduced))
+        stack.extend(kids)
+    return found
+
 
 def _cases():
     return sorted(suite.registry().items())
 
 
 @pytest.mark.parametrize("name,spec", _cases(), ids=[n for n, _ in _cases()])
-def test_no_forbidden_physical_operators(spark, name, spec):
+def test_plan_invariants(spark, name, spec):
+    """Forbidden physical operators + the unpartitioned-window lint,
+    one plan build per entry."""
     df = spec.spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in FORBIDDEN:
         assert op not in plan, f"{name} plans {op}:\n{plan[:1500]}"
+    windows = _unpartitioned_windows(df)
+    if not windows:
+        return
+    assert name in UNPARTITIONED_WINDOW_OK, (
+        f"{name} plans an unpartitioned window ({windows}) and is not "
+        f"allowlisted — partition it, reshape to a two-phase prefix "
+        f"sum (token_budget_packing pattern), or reduce to top-k first "
+        f"(countmin pattern); allowlist only bounded-input windows"
+    )
+    for cls, reduced in windows:
+        assert reduced, (
+            f"{name}: allowlisted as '{UNPARTITIONED_WINDOW_OK[name]}' "
+            f"but its unpartitioned {cls} has NO row-reducing node "
+            f"below it — the window input is corpus-scale; the "
+            f"allowlist covers bounded windows only"
+        )
 
 
 # ---------------------------------------------------------------------------

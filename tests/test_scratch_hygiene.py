@@ -21,14 +21,14 @@ def _tmp_names() -> set[str]:
 
 
 def test_staging_entries_leave_tmp_flat(spark):
-    """jsonl_ingest / orc_roundtrip twice each: every staged directory
-    must live under the single atexit-reaped scratch root — zero new
-    top-level /tmp entries with the staging prefixes."""
+    """jsonl_ingest / orc_roundtrip_identity twice each: every staged
+    directory must live under the single atexit-reaped scratch root —
+    zero new top-level /tmp entries with the staging prefixes."""
     before = _tmp_names()
     reg = registry()
     for _ in range(2):
         reg["jsonl_ingest"].spark(spark, SF_SMOKE).collect()
-        reg["orc_roundtrip"].spark(spark, SF_SMOKE).collect()
+        reg["orc_roundtrip_identity"].spark(spark, SF_SMOKE).collect()
     new = _tmp_names() - before
     leaked = [n for n in new if n.startswith(_LEAK_PREFIXES)]
     assert leaked == [], leaked
