@@ -118,12 +118,14 @@ def test_ordered_names_no_changes_degrades_to_staleness():
 
 def test_registry_ordering_uses_git_changed_files():
     """End-to-end: _files_changed_since_round reads real git state and
-    the registry consumes it without error; entries implemented in a
-    module that changed since their verified round must sort before
+    the registry consumes it without error; entries whose registered
+    function SEMANTICALLY changed since their verified round (the
+    entry-granular closure rule the registry uses since r15 — a
+    sibling's edit or a comment does not promote) must sort before
     unchanged entries of equal-or-staler rounds."""
     from nyc_taxi_data_clickhouse_spark.suite import (
         _driver_verified_rounds,
-        _entry_module_relpath,
+        _entry_changed_since_round,
         _files_changed_since_round,
         registry,
     )
@@ -140,15 +142,14 @@ def test_registry_ordering_uses_git_changed_files():
     assert isinstance(changed_files, frozenset)
     # invariant (r11 rule): never-verified < must-re-verify (at the
     # trust bound) < changed < merely-stale (the sort is total, so it
-    # suffices to check group monotonicity)
+    # suffices to check group monotonicity) — the changed predicate
+    # here is the registry's own, so the test re-checks the real rule
     def group(n):
         if n not in verified:
             return 0
         if latest - verified[n] >= MUST_REVERIFY_AGE:
             return 1
-        rel = _entry_module_relpath(reg[n])
-        chg = rel is not None and rel in _files_changed_since_round(verified[n])
-        return 2 if chg else 3
+        return 2 if _entry_changed_since_round(reg[n], verified[n]) else 3
 
     groups = [group(n) for n in names]
     assert groups == sorted(groups)
