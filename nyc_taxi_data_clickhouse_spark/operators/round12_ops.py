@@ -126,7 +126,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     the whole chain lazy (no ``collect`` in the loop).
 
     Reuse policy (same as dedup.py's connected components): edges /
-    nodes / outdeg and each iteration's rank vector are referenced 2-3
+    nodes and each iteration's rank vector are referenced 2-3
     times by the next iteration, so without reuse Catalyst re-executes
     the whole upstream per reference and the recompute COMPOUNDS 3x
     per iteration.  ``localCheckpoint(eager=True)`` both truncates the
@@ -134,22 +134,49 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     winner over lazy persist (cache-manager barriers cost more than
     the checkpoint writes) and over no reuse (27x recompute of the
     derivation).  At 100 TB the rank vector is ~16 bytes/node —
-    cluster cache-tier sized, the standard PageRank residency."""
+    cluster cache-tier sized, the standard PageRank residency.
+
+    r15 pass-structure rework (guide §1.2/§2.4 — fewer passes, fewer
+    jobs; values byte-identical, oracle unchanged):
+
+    - edges checkpoints FIRST: until r15 ``nodes`` was derived from
+      the UN-checkpointed input, re-running the full upstream (events
+      scan + JSON parse + distinct) a second time — the minhash
+      3x-re-derivation class (VERDICT r14), one tier earlier.
+    - the ITERATION-INVARIANT dangling flag is folded into the node
+      derivation for free: the old ``union().distinct()`` was already
+      one hash agg over both endpoint projections, and ``min(__d)``
+      over the same exchange marks nodes that never appear as src.
+      The flag rides the rank vector, so the per-iteration
+      ranks-vs-outdeg ANTI-JOIN (1 join x iters) becomes a filter.
+    - ``outdeg`` is now single-use (the hoisted edges_deg join), so
+      its dedicated checkpoint job is gone.
+    - the node count is already collected for the join-strategy gate —
+      it re-enters the plan as a LITERAL, replacing the one-row n_df
+      crossJoin broadcast in every iteration (same double arithmetic:
+      1.0 / N with N integral either way).
+    - the LAST iteration is not checkpointed: its only consumer is the
+      caller's single output action, so the materialize-then-rescan
+      paid one extra job for nothing."""
+    # materialize the (possibly expensive) edge derivation ONCE, before
+    # any setup tier forces a job over it
+    edges = edges.localCheckpoint(eager=True)
+    # node list WITH the dangling flag: a node is dangling iff it never
+    # appears as src; min(__d) over the same single hash agg the old
+    # distinct() already ran
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges.select(F.col("src").alias("node"), F.lit(0).alias("__d"))
+        .union(edges.select(F.col("dst").alias("node"), F.lit(1).alias("__d")))
+        .groupBy("node")
+        .agg((F.min("__d") == 1).alias("__dang"))
         .localCheckpoint(eager=True)
     )
-    edges = edges.localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(
-        F.count("*").alias("outdeg")
-    ).localCheckpoint(eager=True)
     # the edges-to-outdeg join is ITERATION-INVARIANT — hoist it out of
     # the loop and checkpoint, so each iteration joins the (src, dst,
     # outdeg) fact once with the rank vector instead of re-running the
     # full-edge-list degree join every pass (the r12 decade probe's
     # superlinear CPU tail came from exactly this)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = edges.join(outdeg, "src").select("src", "dst", "outdeg")
     # count-gated join strategy (the stats.py broadcast-guard pattern;
     # checkpointed localCheckpoint stats default to "huge", so without
@@ -173,57 +200,61 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
         small = lambda d: d.hint("shuffle_hash")  # noqa: E731
         edges_deg = edges_deg.repartition("src")
     edges_deg = edges_deg.localCheckpoint(eager=True)
-    n_df = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    # N as a literal (n_nodes just collected for the gate); the `or 1`
+    # only shields ANSI constant folding of 1.0/0 on an EMPTY graph,
+    # where no row exists to observe the value
+    n_lit = F.lit(n_nodes or 1)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_lit).alias("pr"), "__dang"
     )
-    for _ in range(iters):
+    for i in range(iters):
         ranks = _pagerank_step(
-            ranks, edges_deg, outdeg, nodes, n_df, small, damping
-        ).localCheckpoint(eager=True)
-    return ranks
+            ranks, edges_deg, nodes, n_lit, small, damping
+        )
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "pr")
 
 
 def _pagerank_step(
     ranks: DataFrame,
     edges_deg: DataFrame,
-    outdeg: DataFrame,
     nodes: DataFrame,
-    n_df: DataFrame,
+    n_lit: Column,
     small: Callable[[DataFrame], DataFrame],
     damping: float,
 ) -> DataFrame:
     """One un-checkpointed PageRank iteration — factored out so tests
     can assert the physical join strategies (broadcast below the gate,
-    shuffled-hash above) on the pre-checkpoint plan; the loop wraps it
-    in a ``localCheckpoint``."""
-    dang = (
-        ranks.join(
-            small(outdeg), ranks["node"] == outdeg["src"], "left_anti"
-        )
-        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+    shuffled-hash above) on the pre-checkpoint plan; the loop wraps
+    all but the last in a ``localCheckpoint``.  ``ranks`` and
+    ``nodes`` both carry the iteration-invariant ``__dang`` flag
+    (nodes with no out-edges), so the dangling mass is a filtered
+    1-row aggregate — no per-iteration anti-join."""
+    dang = ranks.filter("__dang").agg(
+        F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
     )
     contrib = (
         edges_deg.join(
-            small(ranks.withColumnRenamed("node", "src")), "src"
+            small(ranks.select(F.col("node").alias("src"), "pr")), "src"
         )
         .groupBy("dst")
         .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
     )
     return (
         nodes.join(small(contrib), nodes["node"] == contrib["dst"], "left")
-        .crossJoin(F.broadcast(n_df))
         .crossJoin(F.broadcast(dang))
         .select(
             "node",
             (
-                F.lit(1.0 - damping) / F.col("n")
+                F.lit(1.0 - damping) / n_lit
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dang") / F.col("n")
+                    + F.col("dang") / n_lit
                 )
             ).alias("pr"),
+            "__dang",
         )
     )
 

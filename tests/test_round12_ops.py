@@ -88,30 +88,28 @@ def test_pagerank_join_gate_plan_shape(spark):
 
     edges = _edges(spark, [(i, 100 + i % 5) for i in range(50)])
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges.select(F.col("src").alias("node"), F.lit(0).alias("__d"))
+        .union(edges.select(F.col("dst").alias("node"), F.lit(1).alias("__d")))
+        .groupBy("node")
+        .agg((F.min("__d") == 1).alias("__dang"))
         .localCheckpoint(eager=True)
     )
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = (
         edges.join(outdeg, "src")
         .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
-    n_df = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    n_nodes = nodes.count()
+    n_lit = F.lit(n_nodes or 1)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_lit).alias("pr"), "__dang"
     )
     bcast_plan = _pagerank_step(
-        ranks, edges_deg, outdeg, nodes, n_df, F.broadcast, 0.85
+        ranks, edges_deg, nodes, n_lit, F.broadcast, 0.85
     )._jdf.queryExecution().executedPlan().toString()
     shj_plan = _pagerank_step(
-        ranks, edges_deg, outdeg, nodes, n_df,
+        ranks, edges_deg, nodes, n_lit,
         lambda d: d.hint("shuffle_hash"), 0.85,
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bcast_plan
