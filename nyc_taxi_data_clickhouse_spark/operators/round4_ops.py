@@ -158,7 +158,14 @@ def term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the band table is tiny (mid-frequency vocab) — broadcast it so
     # the cached toks table never shuffles for the semi-join; both
     # self-join sides re-derive `mid` from the cache (a map-only
-    # filter), so no second persist is needed
+    # filter), so no second persist is needed.
+    # r15 negative result: replacing this self-join with per-doc
+    # sort_array(collect_list) + a nested transform/flatten pair
+    # generator (one fewer shuffle on paper) measured +20% at sf0.1
+    # (A 3.05/2.70/2.71 vs B 3.25/3.18/3.76, alternating same-host) —
+    # higher-order functions building structs are CodegenFallback
+    # (interpreted per row), losing more than the sort-merge join
+    # costs.  Values were byte-identical; reverted on measurement.
     mid = toks.join(F.broadcast(band), "tok")
     a = mid.select("doc_id", F.col("tok").alias("tok_a"))
     b = mid.select("doc_id", F.col("tok").alias("tok_b"))
@@ -440,14 +447,24 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = obs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
     cf = obs.groupBy("w1").agg(F.count("*").alias("cc"))
+    # r15 (guide §2.3 — shuffle fewer bytes): compose the model FIRST.
+    # Joining cf onto the obs⋈bf result re-shuffled the CORPUS-scale
+    # joined stream a second time (on w1); bf⋈cf is a vocab²-scale
+    # join, so attaching cc to the model table and then making ONE
+    # corpus-scale attach on (w1, w2) removes a full corpus exchange.
+    # Per-pair surprisal is computed once in the model and carried as
+    # a double — same arithmetic per row, identical output (oracle
+    # hash-verified both SFs); A/B at sf0.1: 1.74/1.60/1.83 before vs
+    # 1.60/1.46/1.86 after (−5%), the structural win is the removed
+    # corpus-scale w1 exchange.
+    model = bf.join(cf, ["w1"]).withColumn(
+        "__s", -F.log(F.col("bc").cast("double") / F.col("cc"))
+    )
     return (
-        obs.join(bf, ["w1", "w2"])
-        .join(cf, ["w1"])
+        obs.join(model.select("w1", "w2", "__s"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(-F.log(F.col("bc").cast("double") / F.col("cc"))), 6
-            ).alias("bigram_surprisal"),
+            F.round(F.avg("__s"), 6).alias("bigram_surprisal"),
             F.count("*").alias("n_bigrams"),
         )
     )

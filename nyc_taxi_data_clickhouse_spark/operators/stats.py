@@ -170,27 +170,53 @@ def exact_group_median(
         ((F.col("__n") + 1) / 2).cast("long").alias("__r1"),
         (F.col("__n") / 2 + 1).cast("long").alias("__r2"),
     )
+    # r15: the stats table is referenced THREE times (bracket join,
+    # rank join, all-null reattach) and column pruning SPECIALIZES each
+    # copy (sketch-only / count-only / keys-only), so without a persist
+    # each reference re-aggregates the full fact table — 3 fact passes
+    # for one group-cardinality result.  The guard path of
+    # _group_table_hint already persists for its count; do the same on
+    # the caller-asserted paths (True/False), where the guard never
+    # runs.  Group-cardinality rows only — cache-tier sized at 100 TB.
+    if broadcast_stats is not None:
+        from nyc_taxi_data_clickhouse_spark.scratch import track_persist
+
+        sem = stats._jdf.queryExecution().analyzed().semanticHash()
+        stats = track_persist(f"median_stats:{grp}:{col}:{sem}", stats)
     hint = _group_table_hint(
         stats, broadcast_stats, label=f"median_stats:{grp}:{col}"
     )
     j = df.select(grp, col).join(hint(stats), grp)
-    below = (
-        j.filter(F.col(col) < F.col("__lo"))
-        .groupBy(grp)
-        .agg(F.count("*").alias("__lt"))
-    )
-    inb = (
-        j.filter((F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi")))
-        .groupBy(grp, col)
-        .agg(F.count("*").alias("__c"))
+    # ONE fused bracket pass (r15, guide §1.2 — fewer full passes):
+    # group by (grp, in-bracket value) where every out-of-bracket or
+    # null value collapses into one NULL-key row per group.  In-bracket
+    # groups carry their multiplicity (__c); the NULL-key row carries
+    # the below-bracket count (__lt) as a conditional sum.  This
+    # replaces the former two independent aggregates (below-count and
+    # in-bracket multiplicity), which each re-scanned the fact table —
+    # at 100 TB, one full pass instead of two for identical outputs.
+    #
+    # The global rank then needs NO join-back of a below table: Spark
+    # windows order ASC NULLS FIRST, so in the per-group cumulative
+    # window the NULL-key row (carrying __lt, with __c = 0) sorts
+    # ahead of every bracket value and a single running
+    # sum(__lt + __c) IS below-count + in-bracket-cumulative — the
+    # former below/inb branch split re-executed the fused aggregate
+    # per consumer (column pruning specializes the two copies, so the
+    # exchange is not reusable) and re-joined them; this form scans
+    # the fact exactly once and windows the tiny bracket table.
+    c = F.col(col)
+    in_b = (c >= F.col("__lo")) & (c <= F.col("__hi"))
+    fused = j.groupBy(
+        grp, F.when(in_b, c).alias(col)
+    ).agg(
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("__c"),
+        F.sum(F.when(c < F.col("__lo"), 1).otherwise(0)).alias("__lt"),
     )
     w = Window.partitionBy(grp).orderBy(col)
-    ranked = (
-        inb.withColumn("__cum", F.sum("__c").over(w))
-        .join(hint(below), grp, "left")
-        .na.fill({"__lt": 0})
-        .withColumn("__rank_hi", F.col("__lt") + F.col("__cum"))
-    )
+    ranked = fused.withColumn(
+        "__rank_hi", F.sum(F.col("__lt") + F.col("__c")).over(w)
+    ).filter(c.isNotNull())
     sel = (
         ranked.join(
             hint(stats.select(grp, "__r1", "__r2")), grp
@@ -211,10 +237,13 @@ def exact_group_median(
     # land inside the bracket for every n.  Groups whose values are
     # ALL null (count(col) = 0 — F.median returns a null row for
     # them, and so must we) have no bracket and no sel row; re-attach
-    # them from the stats table, which has every group.
+    # them from the stats table, which has every group.  sel is
+    # group-cardinality by construction, so it takes the same
+    # broadcast-or-shuffle hint as the other per-group side tables
+    # (un-hinted it planned sort-merge from r15's changed estimates).
     return (
         stats.select(grp)
-        .join(sel, grp, "left")
+        .join(hint(sel), grp, "left")
         .select(grp, ((F.col("__v1") + F.col("__v2")) / 2).alias(out))
     )
 
@@ -318,6 +347,12 @@ def exact_group_quantiles(
         F.count(col).alias("__n"),
         F.percentile_approx(col, probes, accuracy).alias("__b"),
     ).select(grp, "__n", *per_q_cols)
+    # same 3-reference persist rationale as exact_group_median (r15)
+    if broadcast_stats is not None:
+        from nyc_taxi_data_clickhouse_spark.scratch import track_persist
+
+        sem = stats._jdf.queryExecution().analyzed().semanticHash()
+        stats = track_persist(f"quantiles_stats:{grp}:{col}:{sem}", stats)
     hint = _group_table_hint(
         stats, broadcast_stats, label=f"quantiles_stats:{grp}:{col}"
     )
