@@ -361,6 +361,15 @@ def exact_group_quantiles(
 
     # --- one below/above aggregate for all qs ------------------------
     # (the single-q plan's per-q filtered passes, as conditional aggs)
+    # r15 negative result: fusing this pass with the candidate pass
+    # into one (grp, in-any-bracket value) aggregate + associative
+    # re-agg (the exact_group_median trick, generalized per-q) measured
+    # +14–20% at sf0.1 vs the persist-only baseline — with k quantiles
+    # the fused aggregate evaluates 3k+1 conditional expressions per
+    # corpus row against bracket-scale hash state, costing more than
+    # the second (cheap, grp-keyed) pass saves locally.  Reverted on
+    # measurement; the stats-table persist above (3 references, one
+    # computation) is the part that won and stays.
     ba_exprs = []
     for i in range(k):
         lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
@@ -384,7 +393,7 @@ def exact_group_quantiles(
         in_any = in_any | (
             (c >= F.col(f"__lo{i}")) & (c <= F.col(f"__hi{i}"))
         )
-    inb = j.filter(in_any).select(grp, col, F.lit(1).alias("__c"))
+    inb = j.filter(in_any).select(grp, col, F.lit(1).cast("long").alias("__c"))
     # all 2k neighbors melted through ONE explode branch (not 2k
     # union branches): plan size and scan lineage stay independent
     # of k; nulls (no predecessor / successor pass gated off) drop out
@@ -399,7 +408,7 @@ def exact_group_quantiles(
             ).alias(col),
         )
         .filter(F.col(col).isNotNull())
-        .select(grp, col, F.lit(0).alias("__c"))
+        .select(grp, col, F.lit(0).cast("long").alias("__c"))
     )
     cand = (
         inb.unionByName(neigh).groupBy(grp, col).agg(F.sum("__c").alias("__c"))
@@ -437,9 +446,11 @@ def exact_group_quantiles(
             F.first(F.col(f"__w{i}")).alias(f"__wf{i}"),
         ]
     sel = ranked.groupBy(grp).agg(*sel_exprs)
+    # sel is group-cardinality — same hint rationale as the median's
+    # reattach (un-hinted it can plan sort-merge)
     return (
         stats.select(grp)
-        .join(sel, grp, "left")
+        .join(hint(sel), grp, "left")
         .select(
             grp,
             *[

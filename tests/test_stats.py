@@ -203,9 +203,15 @@ def test_broadcast_gate_high_cardinality_no_broadcast(spark, monkeypatch):
     rows = [(g, rng.uniform(0, 100)) for g in range(40) for _ in range(9)]
     df = spark.createDataFrame(rows, ["grp", "x"])
 
+    # The gate's contract is that no broadcast is FORCED by hint above
+    # the bound — assert on the analyzed plan's ResolvedHint nodes.
+    # (Estimate-based auto-broadcasts of the persisted bracket-scale
+    # side tables are allowed since r15: the planner only picks them
+    # when the measured/estimated size clears autoBroadcastJoinThreshold,
+    # which is exactly the size-bounded safety the gate exists to keep.)
     med = exact_group_median(df, "grp", "x")
-    plan = med._jdf.queryExecution().optimizedPlan().toString()
-    assert "broadcast" not in plan.lower(), plan
+    plan = med._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, plan
     got = {r["grp"]: r["med"] for r in med.collect()}
     want = {
         r["grp"]: r["want"]
@@ -214,8 +220,8 @@ def test_broadcast_gate_high_cardinality_no_broadcast(spark, monkeypatch):
     assert got == pytest.approx(want)
 
     qt = exact_group_quantile(df, "grp", "x", q=0.75)
-    plan_q = qt._jdf.queryExecution().optimizedPlan().toString()
-    assert "broadcast" not in plan_q.lower(), plan_q
+    plan_q = qt._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan_q, plan_q
 
 
 def test_broadcast_gate_low_cardinality_broadcasts(spark):
