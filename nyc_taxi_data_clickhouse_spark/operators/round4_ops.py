@@ -321,22 +321,25 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correction) instead of Spark's value-buffering percentile — "
     "bounded executor memory and ~2× the wall of a plain count agg, "
     "where F.median costs ~6× (profiled in BENCH_NOTES.md round 5).  "
-    "Fact and deviation tables are persisted so the two bracket "
-    "passes each read cache, never rescanning the fact; group "
+    "Fact and deviation tables are persisted so the bracket pass "
+    "reads cache, never rescanning the fact; group "
     "cardinality is small (≤thousands) even at 100 TB, so every "
     "model join broadcasts.  EXECUTED-STAGE LEDGER (VERDICT r14 "
     "item 8 — the honesty baseline a future regression is judged "
-    "against): the ~15 executed shuffles at sf0.1 decompose as 2 "
-    "bracket PASS-SETS (exact_group_median on li, then on dev) x ~6 "
-    "grp-keyed agg/window exchanges each (stats sketch agg, "
-    "below/above conditional agg, candidate table, candidate window "
-    "sort, selection agg, all-null-group reattach) + the final "
-    "scoring groupBy + persist materializations; the med/mad "
-    "JOIN-BACKS are broadcasts and contribute zero exchanges.  Any "
-    "count materially above that means a pass-set stopped fusing or "
-    "a join-back stopped broadcasting (probe: "
-    "SCALING_CPU_r13_orderstats.json — FLAT 0.018 GB shuffle at "
-    "154 M rows, zero spill)",
+    "against; updated r15 after the one-pass bracket rework): 7 "
+    "executed shuffles at sf0.1, decomposing as 2 bracket PASS-SETS "
+    "(exact_group_median on li, then on dev) x 3 grp-keyed exchanges "
+    "each (stats sketch agg — computed ONCE per call since the r15 "
+    "stats persist; fused (grp, in-bracket value) aggregate — the "
+    "r15 fusion of the former below+in-bracket pair; candidate "
+    "window sort) + the final scoring groupBy; selection aggregates "
+    "reuse the window's grp partitioning and the med/mad JOIN-BACKS "
+    "are broadcasts, zero exchanges.  The r14 baseline was ~15 "
+    "(separate below/inb passes, 3 specialized stats re-aggregations "
+    "per call).  Any count materially above 7 means a pass stopped "
+    "fusing, the stats persist stopped sharing, or a join-back "
+    "stopped broadcasting (probe: SCALING_CPU_r13_orderstats.json — "
+    "FLAT 0.018 GB shuffle at 154 M rows, zero spill)",
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
