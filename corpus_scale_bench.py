@@ -365,22 +365,30 @@ def main() -> None:
         ops = {k: mode_override for k in ops}
 
     cpu_metrics = os.environ.get("SCALE_CPU_METRICS") == "1"
+    extra_conf = (
+        {
+            # retainedStages default (1000) can EVICT stages between the
+            # cpu0 and cpu1 samples of a long multi-factor sweep, silently
+            # undercounting deltas (ADVICE r8) — retain enough for the
+            # whole sweep; the non-negativity assert below is the tripwire.
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        }
+        if cpu_metrics
+        else {}
+    )
+    # SCALE_CODEC: shuffle/spill codec A/B hook (VERDICT r15 item 3) —
+    # the decade probes are the only place this repo's shuffles reach
+    # GBs, so spark.io.compression.codec is A/B-able here and nowhere
+    # else (at sf0.1 shuffle volumes are MBs and a codec delta is noise)
+    codec = os.environ.get("SCALE_CODEC")
+    if codec:
+        extra_conf["spark.io.compression.codec"] = codec
     spark = get_spark(
         app_name="corpus-scale-bench",
         master=f"local[{cpus}]",
-        # retainedStages default (1000) can EVICT stages between the
-        # cpu0 and cpu1 samples of a long multi-factor sweep, silently
-        # undercounting deltas (ADVICE r8) — retain enough for the
-        # whole sweep; the non-negativity assert below is the tripwire.
-        extra_conf=(
-            {
-                "spark.ui.enabled": "true",
-                "spark.ui.retainedStages": "100000",
-                "spark.ui.retainedJobs": "100000",
-            }
-            if cpu_metrics
-            else None
-        ),
+        extra_conf=extra_conf or None,
     )
     reg = suite.registry()
 
@@ -480,6 +488,8 @@ def main() -> None:
         "base_rows": base_rows,
         "ops": results,
     }
+    if codec:
+        payload["io_compression_codec"] = codec
     out = Path(
         os.environ.get("SCALE_OUT")
         or Path(__file__).resolve().parent / f"SCALING_r{round_no():02d}.json"

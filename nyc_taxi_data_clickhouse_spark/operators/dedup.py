@@ -204,12 +204,29 @@ JACCARD_SHUFFLE_EXPANSION = 256.0
 #: which the live probe measures instead.
 JACCARD_SORT_BYTES_PER_SHINGLE = 1024.0
 
+#: bytes of per-task state per shingle row for the MINHASH path —
+#: far below jaccard's 1024: minhash never explodes shingle pairs, so
+#: the widest per-task state is the verification SMJ sort (~32 B/row)
+#: plus the 64-long signature agg map (~12 B amortized per shingle
+#: row).  Calibrated by the r16 x256 width sweep (same host, same
+#: session protocol): derived widths {33, 66, 133, 266, 533} measured
+#: {3625, 2097, 2494, 2209, 2738} CPU core-s — 128 B/row lands the
+#: derived width at 66 for that probe, the measured optimum (-39 %
+#: CPU vs the session-default 32), with 33 re-admitting GC pressure
+#: (613 core-s GC) and 533 re-admitting task-floor overhead (the r8
+#: initialPartitionNum lesson).
+MINHASH_SORT_BYTES_PER_SHINGLE = 128.0
+
 #: hash-spread sample bound for the live calibration probe
 _CALIBRATION_SAMPLE_DOCS = 4096
 
 
 def _calibrated_jaccard_partitions(
-    docs: DataFrame, text_col: str, id_col: str, n: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    bytes_per_shingle: float = JACCARD_SORT_BYTES_PER_SHINGLE,
 ) -> int | None:
     """Data-calibrated shuffle width for the shingle exchanges
     (VERDICT r9 item 4).  The former fixed bytes-expansion factor was
@@ -254,7 +271,7 @@ def _calibrated_jaccard_partitions(
         return static_n
     return sized_partitions_for_rows(
         int(n_docs * float(avg_sh)),
-        JACCARD_SORT_BYTES_PER_SHINGLE,
+        bytes_per_shingle,
         docs.sparkSession,
     )
 
@@ -468,6 +485,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.9,
     max_df: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, verified with exact
     Jaccard (so output equals the exact operator's, up to the
@@ -480,8 +498,35 @@ def minhash_lsh_pairs(
     frequency in the SIGNATURE build only (hot-shingle skew guard);
     verification always uses the full shingle sets, so reported
     jaccard values stay exact.
+
+    ``shuffle_partitions`` (VERDICT r15 item 1): width for the
+    shingle-keyed exchanges.  The r15 x512 probe proved a real 1.24
+    marginal CPU slope with exactly-linear shuffle bytes and zero
+    spill — per-task hash/sort state growing under the fixed session
+    width, the same class the jaccard calibrated width removed (r8:
+    -26 % CPU).  Default None derives the width live via the SAME
+    calibration machinery the jaccard path uses (identical shingle
+    geometry: same tokenize, same n) but with minhash's own per-row
+    footprint (:data:`MINHASH_SORT_BYTES_PER_SHINGLE` — no pair
+    explosion here, so jaccard's 1024 B/row over-widens ~8x and
+    measured +30 % at the x64 probe), engaging only above the session
+    default, so small-SF plans stay byte-identical.  When it engages, the persisted shingle
+    table is hash-partitioned ONCE on ``__id`` at the derived width:
+    the signature groupBy and both exact-verification join legs are
+    keyed on ``__id`` (the b-leg on (``__id``, ``__sh``), which a
+    ``__id`` subset partitioning also satisfies), so every downstream
+    shingle-scale exchange reuses the one sized exchange instead of
+    re-shuffling the table at the session width per consumer.
     """
     rows_per_band = num_hashes // bands
+    if shuffle_partitions is None:
+        shuffle_partitions = _calibrated_jaccard_partitions(
+            docs,
+            text_col,
+            id_col,
+            n,
+            bytes_per_shingle=MINHASH_SORT_BYTES_PER_SHINGLE,
+        )
     # r14: persist the FULL shingle table once — the cap's df groupBy,
     # the signature aggregate, and BOTH verification join sides derive
     # from it, and without the persist Catalyst re-executes the
@@ -496,6 +541,11 @@ def minhash_lsh_pairs(
     from nyc_taxi_data_clickhouse_spark.scratch import track_persist
 
     sh_full = _shingle_table(docs, text_col, id_col, n)
+    if shuffle_partitions:
+        # one sized exchange INTO the cache replaces the 3 session-width
+        # exchanges its consumers would otherwise each pay (signature
+        # groupBy + both verification legs, all keyed on __id)
+        sh_full = sh_full.repartition(shuffle_partitions, "__id")
     sem = sh_full._jdf.queryExecution().analyzed().semanticHash()
     sh_full = track_persist(f"minhash_sh:{sem}", sh_full)
     sig = minhash_signature(
@@ -518,23 +568,45 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if shuffle_partitions:
+        # size the band self-join exchange too (the r9 jaccard lesson,
+        # re-measured here: with only the shingle table sized, the
+        # band-join/distinct stages still ran at the session width and
+        # were the x512 probe's fastest-growing stages — per-task sort
+        # state doubling per decade).  Keyed on the join key, so the
+        # join reuses this exchange instead of adding one.
+        band_entries = band_entries.repartition(
+            shuffle_partitions, "band", "band_hash"
+        )
     ba = band_entries.alias("ba")
     bb = band_entries.alias("bb")
-    candidates = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
-            & (F.col("ba.id") < F.col("bb.id")),
+    candidates = ba.join(
+        bb,
+        (F.col("ba.band") == F.col("bb.band"))
+        & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+        & (F.col("ba.id") < F.col("bb.id")),
+    ).select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+    if shuffle_partitions:
+        # ... and the candidate-dedup exchange (same keys as the
+        # distinct, so it is the distinct's exchange, just sized)
+        candidates = candidates.repartition(
+            shuffle_partitions, "id_a", "id_b"
         )
-        .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
-        .distinct()
-    )
+    candidates = candidates.distinct()
 
     # verify candidates with exact Jaccard over the FULL (persisted)
-    # shingle sets; sizes is map-only (array size, no explode) so it
-    # needs no cache
-    sizes = _shingle_sizes(docs, text_col, id_col, n)
+    # shingle sets.  r16: |A| comes from the persisted shingle table
+    # (one row per DISTINCT shingle string — shingles_from_tokens is
+    # array_distinct — so the per-doc row count IS the set size;
+    # within-doc hash collisions cannot merge rows), replacing the
+    # second full tokenize pass (_shingle_sizes re-derived the corpus:
+    # a ~650 core-s map-only stage at the x256 probe, 22 % of the
+    # operator's CPU) with a count over the cache.  Docs with zero
+    # shingles are absent from the grouped table, but they are equally
+    # absent from the signature (same groupBy source), so they can
+    # never reach the inner size joins as candidates — semantics
+    # identical (oracle hash-checked both SFs).
+    sizes = sh_full.groupBy("__id").agg(F.count("*").alias("__n"))
     return _verified_jaccard(candidates, sh_full, sizes, threshold)
 
 
@@ -596,6 +668,19 @@ def simhash_pairs(
         for c in range(n_chunks)
     ]
     keyed = sh.select("id", "simhash", *chunk_exprs)
+    # VERDICT r15 item 4: the signature table feeds BOTH legs of all
+    # n_chunks chunk joins (2*(max_hamming+1) = 8 references at the
+    # default).  ReuseExchange only dedups the groupBy exchange BELOW
+    # the final aggregate, so without a persist the 64-sum simhash
+    # vote aggregation itself re-executes once per reference — at
+    # 100 TB that is 8 corpus-scale aggregations for one signature
+    # table (the minhash/capped-jaccard VERDICT r3 #4 class).  Same
+    # track_persist pattern: semantic-hash label, MEMORY_AND_DISK,
+    # freed by the caller's clearCache / session teardown.
+    from nyc_taxi_data_clickhouse_spark.scratch import track_persist
+
+    sem = keyed._jdf.queryExecution().analyzed().semanticHash()
+    keyed = track_persist(f"simhash_keyed:{sem}", keyed)
 
     cand = None
     for c in range(n_chunks):

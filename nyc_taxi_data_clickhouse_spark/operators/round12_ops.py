@@ -306,7 +306,12 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     "scalars, the loop never collects.  At 100 TB: co-partition edges "
     "and ranks on the key and checkpoint every few iterations.  "
     "Output rounded to 6 dp (double sum order differs cross-engine at "
-    "~1e-15; values are ~1e-3-spaced).",
+    "~1e-15; values are ~1e-3-spaced).  SINGLE-ACTION CONTRACT "
+    "(ADVICE r15): the final iteration is deliberately NOT "
+    "checkpointed, so the returned frame assumes ONE output action — "
+    "a consumer that runs several (count then collect, say) recomputes "
+    "the last iteration per action; multi-action consumers should "
+    "persist()/localCheckpoint() the result themselves.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = interaction_edges(spark, sf_dir)

@@ -23,6 +23,25 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def default_shuffle_partitions() -> int:
+    """Session-default shuffle width: SPARK_GRAFT_SHUFFLE if set, else
+    the session's core budget.  The core budget is $SPARK_GRAFT_CPUS
+    when the driver exports it (VERDICT r15 item 2a: a
+    SPARK_GRAFT_CPUS=8 run previously still planned host-core-count
+    shuffle partitions because this read os.cpu_count() directly —
+    the one real mismatch behind the undiagnosable scaling block),
+    falling back to os.cpu_count() when unset or non-numeric
+    (e.g. the "*" local-all-cores sentinel)."""
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        cores = int(env_cpus) if env_cpus else 0
+    except ValueError:
+        cores = 0
+    if cores <= 0:
+        cores = os.cpu_count() or 8
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", cores))
+
+
 def get_spark(
     app_name: str = "nyc-taxi-data-clickhouse-spark",
     master: str | None = None,
@@ -36,8 +55,7 @@ def get_spark(
     """
     master = master or f"local[{_DEFAULT_CPUS}]"
     if shuffle_partitions is None:
-        cpus = os.cpu_count() or 8
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+        shuffle_partitions = default_shuffle_partitions()
 
     builder = (
         SparkSession.builder.master(master)

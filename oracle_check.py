@@ -31,7 +31,11 @@ def main() -> int:
     reg = suite.registry()
     rc = 0
     for name in names:
-        spec = reg[name]
+        spec = reg.get(name)
+        if spec is None:  # ADVICE r15: mirror plans capture — skip, don't abort
+            print(f"SKIP/UNKNOWN {name}", file=sys.stderr)
+            rc = 1
+            continue
         res = compare(spec.spark(spark, sf_dir), spec.oracle, sf_dir)
         ok = bool(res.get("match"))
         print(

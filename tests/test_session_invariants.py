@@ -153,3 +153,72 @@ def test_registry_ordering_uses_git_changed_files():
 
     groups = [group(n) for n in names]
     assert groups == sorted(groups)
+
+
+# ---------------------------------------------------------------------------
+# Core-scaling contract (VERDICT r15 item 2): a constrained run must
+# plan constrained-width shuffles, not host-width ones
+# ---------------------------------------------------------------------------
+
+
+def test_default_shuffle_partitions_honors_spark_graft_cpus(monkeypatch):
+    """Pure derivation rule: $SPARK_GRAFT_CPUS wins when numeric,
+    $SPARK_GRAFT_SHUFFLE overrides everything, os.cpu_count() is the
+    fallback for unset/non-numeric values."""
+    import os
+
+    from nyc_taxi_data_clickhouse_spark.session import (
+        default_shuffle_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert default_shuffle_partitions() == 8
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "96")
+    assert default_shuffle_partitions() == 96
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")  # local-all-cores sentinel
+    assert default_shuffle_partitions() == (os.cpu_count() or 8)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert default_shuffle_partitions() == (os.cpu_count() or 8)
+
+
+def test_bench_session_parallelism_matches_spark_graft_cpus():
+    """End-to-end in a fresh interpreter/JVM (sessions are process
+    global): under the bench entry path, defaultParallelism AND the
+    planned shuffle width both equal $SPARK_GRAFT_CPUS — the r15
+    driver's 8-core rerun planned host-core-count (32) shuffle
+    partitions, which made its low-core scaling block undiagnosable."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import json\n"
+        "from nyc_taxi_data_clickhouse_spark.session import get_spark\n"
+        "s = get_spark(app_name='cpus-contract')\n"
+        "print(json.dumps({'dp': s.sparkContext.defaultParallelism,\n"
+        "                  'sp': s.conf.get('spark.sql.shuffle.partitions')}))\n"
+        "s.stop()\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="6")
+    env.pop("SPARK_GRAFT_SHUFFLE", None)
+    repo = Path(__file__).resolve().parents[1]
+    env["PYTHONPATH"] = (
+        f"{repo}{os.pathsep}{env['PYTHONPATH']}"
+        if env.get("PYTHONPATH")
+        else str(repo)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=repo,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload == {"dp": 6, "sp": "6"}

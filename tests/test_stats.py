@@ -209,19 +209,33 @@ def test_broadcast_gate_high_cardinality_no_broadcast(spark, monkeypatch):
     # side tables are allowed since r15: the planner only picks them
     # when the measured/estimated size clears autoBroadcastJoinThreshold,
     # which is exactly the size-bounded safety the gate exists to keep.)
-    med = exact_group_median(df, "grp", "x")
-    plan = med._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in plan, plan
-    got = {r["grp"]: r["med"] for r in med.collect()}
-    want = {
-        r["grp"]: r["want"]
-        for r in df.groupBy("grp").agg(F.median("x").alias("want")).collect()
-    }
-    assert got == pytest.approx(want)
+    # ADVICE r15: additionally re-expose forced broadcasts by disabling
+    # the estimate-based path entirely — with the threshold at -1, ANY
+    # BroadcastExchange left in the physical plan can only come from a
+    # hint, so the gate's refusal is checked at the operator level too.
+    threshold_key = "spark.sql.autoBroadcastJoinThreshold"
+    saved_threshold = spark.conf.get(threshold_key)
+    try:
+        spark.conf.set(threshold_key, "-1")
+        med = exact_group_median(df, "grp", "x")
+        plan = med._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in plan, plan
+        physical = med._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in physical, physical
+        got = {r["grp"]: r["med"] for r in med.collect()}
+        want = {
+            r["grp"]: r["want"]
+            for r in df.groupBy("grp").agg(F.median("x").alias("want")).collect()
+        }
+        assert got == pytest.approx(want)
 
-    qt = exact_group_quantile(df, "grp", "x", q=0.75)
-    plan_q = qt._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in plan_q, plan_q
+        qt = exact_group_quantile(df, "grp", "x", q=0.75)
+        plan_q = qt._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in plan_q, plan_q
+        physical_q = qt._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in physical_q, physical_q
+    finally:
+        spark.conf.set(threshold_key, saved_threshold)
 
 
 def test_broadcast_gate_low_cardinality_broadcasts(spark):
