@@ -122,6 +122,14 @@ def get_spark(
         # multi-key scan aggregates (scan_profile.py: q4 1.01 -> 0.92 s);
         # no effect on string-keyed q1 (falls back to row-based map)
         .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+        # NOT set: spark.io.compression.codec (shuffle/spill codec, default
+        # lz4).  zstd was A/B'd on the decade probes — the only shapes here
+        # whose shuffles reach GBs (CODEC_AB_r16.json): shuffle bytes drop a
+        # deterministic 31-35%, but single-box wall/CPU is a wash on jaccard
+        # and a repeated loss on minhash, and at sf0.1 shuffle volumes are
+        # MBs (pure noise).  On a NETWORK-bound cluster the byte reduction
+        # is the dominant term (guide §1.3 napkin math) — deploys should
+        # A/B zstd via extra_conf there; the local default stays lz4.
         # non-interactive harness: no web UI
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
